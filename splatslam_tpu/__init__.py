@@ -1,0 +1,21 @@
+"""splatslam_tpu — a TPU-native (JAX/XLA/Pallas) dense RGB SLAM framework.
+
+Re-implements the full capability surface of Splat-SLAM (reference:
+google-research/Splat-SLAM): a DROID-style neural tracker with the DSPO
+(disparity / scale / pose) bundle-adjustment layer, a deformable
+3D-Gaussian-Splatting mapper, and a monocular-depth prior — re-designed
+TPU-first:
+
+  * all solvers (dense bundle adjustment, Schur complement, Cholesky) run
+    on-chip in XLA instead of the reference's CPU-Eigen/CUDA split
+    (reference: thirdparty/glorie_slam/lib/droid_kernels.cu:1117-1437),
+  * the correlation-volume lookup and tile rasterizer are MXU/VPU-shaped
+    kernels instead of CUDA gather kernels,
+  * the two-process tracker/mapper pipeline (reference: src/slam.py:246-261)
+    collapses into a single host loop driving one device program stream,
+  * camera-pose gradients of the renderer come from end-to-end autodiff of
+    the projection pipeline rather than hand-derived CUDA VJPs
+    (reference: diff-gaussian-rasterization-w-pose).
+"""
+
+__version__ = "0.1.0"

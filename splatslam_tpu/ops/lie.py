@@ -1,0 +1,320 @@
+"""Pure-JAX SE(3) / Sim(3) Lie-group operations on quaternion 7/8-vectors.
+
+TPU-native replacement for the `lietorch` CUDA extension used by the
+reference (called from thirdparty/glorie_slam/depth_video.py:173,237,328,
+geom/projective_ops.py:18,117-134, geom/ba.py:45, trajectory_filler.py:62-95).
+
+Storage layout matches lietorch so pose buffers are interchangeable:
+    SE3  : [tx, ty, tz, qx, qy, qz, qw]            (7 floats)
+    Sim3 : [tx, ty, tz, qx, qy, qz, qw, s]         (8 floats, s = scale)
+
+Tangent (manifold) layout: [tau(3), phi(3)] translation-first, and for Sim3
+[tau(3), phi(3), sigma]. Retraction is LEFT multiplication:
+    retr(g, xi) = exp(xi) ∘ g
+matching the CUDA retraction in the reference
+(thirdparty/glorie_slam/lib/droid_kernels.cu pose_retr / retrSE3).
+
+Group action on homogeneous 4-points X = (x, y, z, d) (d = inverse-depth
+homogeneous coordinate, as produced by pinhole inverse projection):
+    g * X = (R @ (x,y,z) + d * t, d)
+
+All functions broadcast over arbitrary leading batch dimensions and are
+jit/vmap/grad-safe (Taylor-series fallbacks near the identity).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def identity(shape=(), dtype=jnp.float32) -> jnp.ndarray:
+    """SE3 identity 7-vectors with the given leading shape."""
+    out = jnp.zeros(tuple(shape) + (7,), dtype=dtype)
+    return out.at[..., 6].set(1.0)
+
+
+# ---------------------------------------------------------------------------
+# quaternion helpers (xyzw storage, Hamilton convention)
+# ---------------------------------------------------------------------------
+
+def quat_mul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product q1 ⊗ q2, both stored as (..., 4) xyzw."""
+    x1, y1, z1, w1 = jnp.split(q1, 4, axis=-1)
+    x2, y2, z2, w2 = jnp.split(q2, 4, axis=-1)
+    return jnp.concatenate(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.asarray([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
+
+
+def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate 3-vectors v by unit quaternions q (xyzw)."""
+    qv = q[..., :3]
+    qw = q[..., 3:4]
+    uv = jnp.cross(qv, v)
+    uuv = jnp.cross(qv, uv)
+    return v + 2.0 * (qw * uv + uuv)
+
+
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) xyzw → rotation matrix (..., 3, 3)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) → unit quaternion (..., 4) xyzw.
+
+    Branch-free Shepperd's method (numerically stable for all rotations).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+
+    # four candidate constructions, pick the best-conditioned per element
+    qw = jnp.stack([1 + m00 + m11 + m22, m21 - m12, m02 - m20, m10 - m01], -1)
+    qx = jnp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1)
+    # candidates[k] is (w, x, y, z) scaled by 4*q_k
+    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # (..., 4, 4) [cand, wxyz]
+    diag = jnp.stack(
+        [1 + m00 + m11 + m22, 1 + m00 - m11 - m22,
+         1 - m00 + m11 - m22, 1 - m00 - m11 + m22], -1)
+    best = jnp.argmax(diag, axis=-1)
+    cand = jnp.take_along_axis(
+        cands, best[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    # wxyz → xyzw and normalize
+    q = jnp.concatenate([cand[..., 1:4], cand[..., 0:1]], axis=-1)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # canonical sign: qw >= 0
+    return q * jnp.sign(q[..., 3:4] + _EPS)
+
+
+# ---------------------------------------------------------------------------
+# SO(3) exp/log with Taylor fallbacks
+# ---------------------------------------------------------------------------
+
+def _sinc(x):
+    """sin(x)/x, safe at 0."""
+    return jnp.where(jnp.abs(x) < 1e-4, 1.0 - x * x / 6.0, jnp.sin(x) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x))
+
+
+def so3_exp_quat(phi: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-vector (..., 3) → unit quaternion (..., 4) xyzw."""
+    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    half = 0.5 * theta
+    small = theta < 1e-4
+    k = jnp.where(small, 0.5 - theta * theta / 48.0,
+                  jnp.sin(half) / jnp.where(small, 1.0, theta))
+    qv = k * phi
+    qw = jnp.cos(half)
+    return jnp.concatenate([qv, qw], axis=-1)
+
+
+def so3_log(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) xyzw → rotation vector (..., 3)."""
+    qv = q[..., :3]
+    qw = q[..., 3:4]
+    # force positive hemisphere for a unique log
+    sign = jnp.sign(qw + _EPS)
+    qv = qv * sign
+    qw = qw * sign
+    n = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    half = jnp.arctan2(n, qw)
+    small = n < 1e-6
+    k = jnp.where(small, 2.0 / jnp.clip(qw, _EPS), 2.0 * half / jnp.where(small, 1.0, n))
+    return k * qv
+
+
+def _hat(v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) → skew-symmetric (..., 3, 3)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    o = jnp.zeros_like(x)
+    m = jnp.stack([o, -z, y, z, o, -x, -y, x, o], axis=-1)
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
+    """Left Jacobian V(phi) of SO(3), (..., 3, 3)."""
+    theta = jnp.linalg.norm(phi, axis=-1)
+    W = _hat(phi)
+    W2 = W @ W
+    small = theta < 1e-4
+    t = jnp.where(small, 1.0, theta)
+    A = jnp.where(small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(t)) / t**2)
+    B = jnp.where(small, 1.0 / 6.0 - theta**2 / 120.0, (t - jnp.sin(t)) / t**3)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
+    return I + A[..., None, None] * W + B[..., None, None] * W2
+
+
+def _so3_left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
+    theta = jnp.linalg.norm(phi, axis=-1)
+    W = _hat(phi)
+    W2 = W @ W
+    small = theta < 1e-4
+    t = jnp.where(small, 1.0, theta)
+    half = 0.5 * t
+    cot_term = jnp.where(
+        small,
+        1.0 / 12.0 + theta**2 / 720.0,
+        (1.0 - half * jnp.cos(half) / jnp.sin(half)) / t**2,
+    )
+    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
+    return I - 0.5 * W + cot_term[..., None, None] * W2
+
+
+# ---------------------------------------------------------------------------
+# SE(3)
+# ---------------------------------------------------------------------------
+
+def mul(g1: jnp.ndarray, g2: jnp.ndarray) -> jnp.ndarray:
+    """Compose SE3 7-vectors: g1 ∘ g2."""
+    t1, q1 = g1[..., :3], g1[..., 3:7]
+    t2, q2 = g2[..., :3], g2[..., 3:7]
+    q = quat_mul(q1, q2)
+    t = t1 + quat_rotate(q1, t2)
+    return jnp.concatenate([t, q], axis=-1)
+
+
+def inv(g: jnp.ndarray) -> jnp.ndarray:
+    t, q = g[..., :3], g[..., 3:7]
+    qi = quat_conj(q)
+    ti = -quat_rotate(qi, t)
+    return jnp.concatenate([ti, qi], axis=-1)
+
+
+def act(g: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Apply SE3 to homogeneous 4-points (x, y, z, d): (R xyz + d t, d)."""
+    t, q = g[..., :3], g[..., 3:7]
+    xyz, d = X[..., :3], X[..., 3:4]
+    return jnp.concatenate([quat_rotate(q, xyz) + d * t, d], axis=-1)
+
+
+def act3(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply SE3 to ordinary 3-points."""
+    t, q = g[..., :3], g[..., 3:7]
+    return quat_rotate(q, p) + t
+
+
+def exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """se3 tangent (..., 6) [tau, phi] → SE3 7-vec."""
+    tau, phi = xi[..., :3], xi[..., 3:6]
+    q = so3_exp_quat(phi)
+    V = _so3_left_jacobian(phi)
+    t = jnp.einsum("...ij,...j->...i", V, tau)
+    return jnp.concatenate([t, q], axis=-1)
+
+
+def log(g: jnp.ndarray) -> jnp.ndarray:
+    """SE3 7-vec → se3 tangent (..., 6) [tau, phi]."""
+    t, q = g[..., :3], g[..., 3:7]
+    phi = so3_log(q)
+    Vinv = _so3_left_jacobian_inv(phi)
+    tau = jnp.einsum("...ij,...j->...i", Vinv, t)
+    return jnp.concatenate([tau, phi], axis=-1)
+
+
+def retr(g: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Left retraction: exp(xi) ∘ g (matches the reference CUDA pose_retr)."""
+    return mul(exp(xi), g)
+
+
+def adjoint(g: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint matrix Adj(g) (..., 6, 6) for tangent order [tau, phi]."""
+    t, q = g[..., :3], g[..., 3:7]
+    R = quat_to_matrix(q)
+    tR = _hat(t) @ R
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([Z, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def adjT_apply(g: jnp.ndarray, Jrows: jnp.ndarray) -> jnp.ndarray:
+    """Dual-adjoint transport of Jacobian row-covectors: Jrows @ Adj(g).
+
+    Matches lietorch's `adjT` usage in the reference
+    (thirdparty/glorie_slam/geom/projective_ops.py:132): for rows a of J,
+    a ← Adj(g)ᵀ a, i.e. J ← J @ Adj(g).
+    """
+    return jnp.einsum("...kj,...ji->...ki", Jrows, adjoint(g))
+
+
+def to_matrix(g: jnp.ndarray) -> jnp.ndarray:
+    """SE3 7-vec → homogeneous (..., 4, 4) matrix."""
+    t, q = g[..., :3], g[..., 3:7]
+    R = quat_to_matrix(q)
+    top = jnp.concatenate([R, t[..., None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def from_matrix(T: jnp.ndarray) -> jnp.ndarray:
+    """Homogeneous (..., 4, 4) matrix → SE3 7-vec."""
+    q = matrix_to_quat(T[..., :3, :3])
+    t = T[..., :3, 3]
+    return jnp.concatenate([t, q], axis=-1)
+
+
+def normalize(g: jnp.ndarray) -> jnp.ndarray:
+    """Renormalize the quaternion part (fp32 drift control)."""
+    t, q = g[..., :3], g[..., 3:7]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return jnp.concatenate([t, q], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Sim(3)  — 8-vec [t, q, s]; tangent [tau, phi, sigma]
+# ---------------------------------------------------------------------------
+
+def sim3_identity(shape=(), dtype=jnp.float32) -> jnp.ndarray:
+    out = jnp.zeros(tuple(shape) + (8,), dtype=dtype)
+    return out.at[..., 6].set(1.0).at[..., 7].set(1.0)
+
+
+def sim3_mul(g1: jnp.ndarray, g2: jnp.ndarray) -> jnp.ndarray:
+    t1, q1, s1 = g1[..., :3], g1[..., 3:7], g1[..., 7:8]
+    t2, q2, s2 = g2[..., :3], g2[..., 3:7], g2[..., 7:8]
+    q = quat_mul(q1, q2)
+    t = t1 + s1 * quat_rotate(q1, t2)
+    return jnp.concatenate([t, q, s1 * s2], axis=-1)
+
+
+def sim3_inv(g: jnp.ndarray) -> jnp.ndarray:
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
+    qi = quat_conj(q)
+    si = 1.0 / s
+    ti = -si * quat_rotate(qi, t)
+    return jnp.concatenate([ti, qi, si], axis=-1)
+
+
+def sim3_act(g: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Apply Sim3 to homogeneous 4-points (x, y, z, d): (s R xyz + d t, d)."""
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
+    xyz, d = X[..., :3], X[..., 3:4]
+    return jnp.concatenate([s * quat_rotate(q, xyz) + d * t, d], axis=-1)

@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatslam_tpu.ops import lie
+
+
+def random_se3(key, shape=()):
+    k1, k2 = jax.random.split(key)
+    xi = jax.random.normal(k1, tuple(shape) + (6,)) * 0.5
+    return lie.exp(xi)
+
+
+def test_identity_and_inverse():
+    g = random_se3(jax.random.PRNGKey(0), (7,))
+    gi = lie.inv(g)
+    e = lie.mul(g, gi)
+    np.testing.assert_allclose(e[..., :3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.abs(e[..., 6]), 1.0, atol=1e-5)
+
+
+def test_exp_log_roundtrip():
+    xi = jax.random.normal(jax.random.PRNGKey(1), (32, 6)) * 0.7
+    xi2 = lie.log(lie.exp(xi))
+    # fp32 roundoff dominates (the same check passes at 2e-14 in float64)
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-2)
+
+
+def test_exp_small_angle():
+    xi = jnp.zeros((6,)).at[0].set(0.3)  # pure translation
+    g = lie.exp(xi)
+    np.testing.assert_allclose(np.asarray(g[:3]), [0.3, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g[3:]), [0, 0, 0, 1], atol=1e-6)
+
+
+def test_matrix_roundtrip():
+    g = random_se3(jax.random.PRNGKey(2), (16,))
+    T = lie.to_matrix(g)
+    g2 = lie.from_matrix(T)
+    # sign-canonicalize quaternions before comparing
+    gq = np.asarray(g[..., 3:]) * np.sign(np.asarray(g[..., 6:7]))
+    g2q = np.asarray(g2[..., 3:]) * np.sign(np.asarray(g2[..., 6:7]))
+    np.testing.assert_allclose(np.asarray(g2[..., :3]), np.asarray(g[..., :3]), atol=1e-5)
+    np.testing.assert_allclose(g2q, gq, atol=1e-5)
+
+
+def test_action_matches_matrix():
+    g = random_se3(jax.random.PRNGKey(3), (8,))
+    p = jax.random.normal(jax.random.PRNGKey(4), (8, 3))
+    out = lie.act3(g, p)
+    T = np.asarray(lie.to_matrix(g))
+    expect = np.einsum("nij,nj->ni", T[:, :3, :3], np.asarray(p)) + T[:, :3, 3]
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_homogeneous_action():
+    g = random_se3(jax.random.PRNGKey(5))
+    X = jnp.asarray([0.2, -0.1, 1.0, 0.5])  # (x, y, z, d)
+    Y = lie.act(g, X)
+    R = np.asarray(lie.quat_to_matrix(g[3:]))
+    expect_xyz = R @ np.asarray(X[:3]) + 0.5 * np.asarray(g[:3])
+    np.testing.assert_allclose(np.asarray(Y[:3]), expect_xyz, atol=1e-5)
+    assert float(Y[3]) == pytest.approx(0.5)
+
+
+def test_compose_matches_matrix_product():
+    ga = random_se3(jax.random.PRNGKey(6), (4,))
+    gb = random_se3(jax.random.PRNGKey(7), (4,))
+    T = np.asarray(lie.to_matrix(lie.mul(ga, gb)))
+    expect = np.asarray(lie.to_matrix(ga)) @ np.asarray(lie.to_matrix(gb))
+    np.testing.assert_allclose(T, expect, atol=1e-5)
+
+
+def test_adjoint_identity():
+    """Adj(g) xi satisfies exp(Adj(g) xi) = g exp(xi) g^-1."""
+    g = random_se3(jax.random.PRNGKey(8))
+    xi = jax.random.normal(jax.random.PRNGKey(9), (6,)) * 0.1
+    lhs = lie.exp(jnp.einsum("ij,j->i", lie.adjoint(g), xi))
+    rhs = lie.mul(lie.mul(g, lie.exp(xi)), lie.inv(g))
+    # exact in float64 (2e-16); fp32 roundoff sets the tolerance here
+    np.testing.assert_allclose(np.asarray(lhs[:3]), np.asarray(rhs[:3]), atol=1e-3)
+    lq = np.asarray(lhs[3:]) * np.sign(float(lhs[6]))
+    rq = np.asarray(rhs[3:]) * np.sign(float(rhs[6]))
+    np.testing.assert_allclose(lq, rq, atol=1e-3)
+
+
+def test_retr_is_left_multiplication():
+    g = random_se3(jax.random.PRNGKey(10))
+    xi = jax.random.normal(jax.random.PRNGKey(11), (6,)) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(lie.retr(g, xi)),
+        np.asarray(lie.mul(lie.exp(xi), g)), atol=1e-6)
+
+
+def test_sim3_action_and_inverse():
+    g8 = jnp.concatenate([random_se3(jax.random.PRNGKey(12)), jnp.asarray([1.7])])
+    X = jnp.asarray([0.3, 0.2, 2.0, 1.0])
+    Y = lie.sim3_act(g8, X)
+    back = lie.sim3_act(lie.sim3_inv(g8), Y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(X), atol=1e-5)
