@@ -14,3 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+# full fp32 matmul/conv accumulation for torch-parity tests (production on
+# TPU intentionally runs the encoders in bf16 like the reference's AMP path)
+jax.config.update("jax_default_matmul_precision", "highest")
