@@ -199,6 +199,14 @@ class DroidNet(nn.Module):
         net, inp = jnp.split(x, 2, axis=-1)
         return jnp.tanh(net), nn.relu(inp)
 
+    def update_step(self, net, inp, corr, flow=None):
+        """Per-edge half of the update operator (chunk-friendly)."""
+        return self.update(net, inp, corr, flow)
+
+    def update_agg(self, net, ix, num_kf: int):
+        """GraphAgg half: per-keyframe damping eta + upsample mask."""
+        return self.update.agg(net, ix, num_kf)
+
     def __call__(self, images, net, inp, corr, flow=None, ix=None,
                  num_kf: int = 0):
         """Init-friendly umbrella: touches all three submodules."""

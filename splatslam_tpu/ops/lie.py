@@ -124,9 +124,16 @@ def _sinc(x):
     return jnp.where(jnp.abs(x) < 1e-4, 1.0 - x * x / 6.0, jnp.sin(x) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x))
 
 
+def _safe_norm(v, axis=-1, keepdims=False):
+    """‖v‖ with a finite gradient at v = 0 (needed so autodiff through
+    exp/log at the identity — e.g. rasterizer pose deltas — stays NaN-free)."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(sq + 1e-24)
+
+
 def so3_exp_quat(phi: jnp.ndarray) -> jnp.ndarray:
     """Rotation-vector (..., 3) → unit quaternion (..., 4) xyzw."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    theta = _safe_norm(phi, keepdims=True)
     half = 0.5 * theta
     small = theta < 1e-4
     k = jnp.where(small, 0.5 - theta * theta / 48.0,
@@ -144,7 +151,7 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     sign = jnp.sign(qw + _EPS)
     qv = qv * sign
     qw = qw * sign
-    n = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    n = _safe_norm(qv, keepdims=True)
     half = jnp.arctan2(n, qw)
     small = n < 1e-6
     k = jnp.where(small, 2.0 / jnp.clip(qw, _EPS), 2.0 * half / jnp.where(small, 1.0, n))
@@ -161,7 +168,7 @@ def _hat(v: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V(phi) of SO(3), (..., 3, 3)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     W = _hat(phi)
     W2 = W @ W
     small = theta < 1e-4
@@ -173,7 +180,7 @@ def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def _so3_left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     W = _hat(phi)
     W2 = W @ W
     small = theta < 1e-4

@@ -1,0 +1,506 @@
+"""DepthVideo — the keyframe ring buffer, as a device-resident pytree.
+
+TPU-native redesign of the reference's shared-memory CUDA tensor pool
+(thirdparty/glorie_slam/depth_video.py:27-120). The reference shares
+tensors between a tracker process and a mapper process and guards them
+with a lock; here a single host thread owns one pytree of fixed-shape
+jnp arrays, so the lock, the dirty-flag races, and the IPC disappear —
+the keyframe-granularity handshake becomes plain function-call order.
+
+All per-frame state lives in arrays with the buffer dimension first;
+the keyframe counter and dirty flags are host-side (they drive control
+flow, which must stay out of jit).
+
+Kernel equivalents of the reference CUDA ops:
+  * frame_distance — droid_kernels.cu:518-659 (flow-distance metric)
+  * depth_filter   — droid_kernels.cu:661-777 (multiview consistency)
+  * reproject      — pops.projective_transform (depth_video.py:170-178)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, projective as pops, ba as ba_ops
+from ..ops.upsample import upsample_disp
+
+# the CUDA kernels use 0.25 (droid_kernels.cu:26); python ops use 0.2
+CUDA_MIN_DEPTH = 0.25
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VideoState:
+    """Fixed-capacity per-keyframe state (buffer dim first)."""
+    timestamp: jnp.ndarray      # (B,) f32
+    images: jnp.ndarray         # (B, H, W, 3) uint8
+    poses: jnp.ndarray          # (B, 7) f32 — world-to-camera SE3
+    disps: jnp.ndarray          # (B, h, w) f32 — 1/8-res disparity
+    disps_up: jnp.ndarray       # (B, H, W) f32
+    intrinsics: jnp.ndarray     # (B, 4) f32 — at 1/8 resolution
+    mono_disps: jnp.ndarray     # (B, h, w) f32
+    depth_scale: jnp.ndarray    # (B,) f32
+    depth_shift: jnp.ndarray    # (B,) f32
+    valid_depth_mask: jnp.ndarray        # (B, H, W) bool
+    valid_depth_mask_small: jnp.ndarray  # (B, h, w) bool
+    fmaps: jnp.ndarray          # (B, h, w, 128) bf16 — correlation features
+    nets: jnp.ndarray           # (B, h, w, 128) f32 — GRU hidden seed
+    inps: jnp.ndarray           # (B, h, w, 128) f32 — context features
+    damping: jnp.ndarray        # (B, h, w) f32 — GraphAgg eta per keyframe
+
+
+def make_video_state(buffer: int, H: int, W: int, down: int = 8) -> VideoState:
+    h, w = H // down, W // down
+    return VideoState(
+        timestamp=jnp.zeros((buffer,), jnp.float32),
+        images=jnp.zeros((buffer, H, W, 3), jnp.uint8),
+        poses=lie.identity((buffer,)),
+        disps=jnp.ones((buffer, h, w), jnp.float32),
+        disps_up=jnp.zeros((buffer, H, W), jnp.float32),
+        intrinsics=jnp.zeros((buffer, 4), jnp.float32),
+        mono_disps=jnp.zeros((buffer, h, w), jnp.float32),
+        depth_scale=jnp.zeros((buffer,), jnp.float32),
+        depth_shift=jnp.zeros((buffer,), jnp.float32),
+        valid_depth_mask=jnp.zeros((buffer, H, W), bool),
+        valid_depth_mask_small=jnp.zeros((buffer, h, w), bool),
+        fmaps=jnp.zeros((buffer, h, w, 128), jnp.bfloat16),
+        nets=jnp.zeros((buffer, h, w, 128), jnp.float32),
+        inps=jnp.zeros((buffer, h, w, 128), jnp.float32),
+        damping=1e-6 * jnp.ones((buffer, h, w), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted geometric kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def frame_distance_kernel(poses, disps, intrinsics, ii, jj, beta):
+    """Mean induced-flow distance (droid_kernels.cu frame_distance parity).
+
+    dist = mean over valid pixels of β·‖flow(SE3)‖ + (1−β)·‖flow(t-only)‖;
+    returns 1000 when fewer than 75% of pixels are valid.
+    poses (B,7), disps (B,h,w), intrinsics (4,), ii/jj (N,) → (N,).
+    """
+    h, w = disps.shape[-2:]
+    fx, fy, cx, cy = intrinsics
+    grid = pops.coords_grid(h, w)
+    d_i = disps[ii]                                    # (N,h,w)
+    X = (grid[..., 0] - cx) / fx
+    Y = (grid[..., 1] - cy) / fy
+    ones = jnp.ones_like(d_i)
+    Xi = jnp.stack([X * ones, Y * ones, ones, d_i], -1)
+
+    Gij = lie.mul(poses[jj], lie.inv(poses[ii]))       # (N,7)
+    Xj_full = lie.act(Gij[:, None, None], Xi)
+    tij = Gij[:, None, None, :3]
+    Xj_t = Xi.at[..., :3].add(Xi[..., 3:4] * tij)
+
+    def flow_mag(Xj):
+        u = fx * Xj[..., 0] / Xj[..., 2] + cx
+        v = fy * Xj[..., 1] / Xj[..., 2] + cy
+        d = jnp.sqrt((u - grid[..., 0]) ** 2 + (v - grid[..., 1]) ** 2)
+        valid = Xj[..., 2] > CUDA_MIN_DEPTH
+        return d, valid
+
+    d1, v1 = flow_mag(Xj_full)
+    d2, v2 = flow_mag(Xj_t)
+    accum = (beta * jnp.sum(d1 * v1, (-2, -1))
+             + (1 - beta) * jnp.sum(d2 * v2, (-2, -1)))
+    valid = (beta * jnp.sum(v1, (-2, -1))
+             + (1 - beta) * jnp.sum(v2, (-2, -1)))
+    total = jnp.asarray(h * w, jnp.float32)
+    frac = valid / (total + 1e-8)
+    return jnp.where(frac < 0.75, 1000.0, accum / jnp.clip(valid, 1e-8))
+
+
+@jax.jit
+def depth_filter_kernel(poses, disps, intrinsics, inds, thresh):
+    """Multiview consistency counter (droid_kernels.cu depth_filter parity).
+
+    For each frame ix in `inds` and each of its 6 neighbor frames
+    jx ∈ {ix−1, ix−2, ix−3, ix+3, ix+4, ix+5} (the reference's exact
+    neighbor set), count whether the reprojected inverse depth agrees with
+    any of the 4 integer-neighbor disparities within thresh[ix].
+    Returns (len(inds), h, w) float counts.
+    """
+    num, h, w = disps.shape
+    fx, fy, cx, cy = intrinsics
+    grid = pops.coords_grid(h, w)
+
+    def per_frame(ix, t):
+        def one(jx):
+            valid_j = (jx >= 0) & (jx < num)
+            jx_c = jnp.clip(jx, 0, num - 1)
+            d_i = disps[ix]
+            X = (grid[..., 0] - cx) / fx
+            Y = (grid[..., 1] - cy) / fy
+            Xi = jnp.stack([X, Y, jnp.ones_like(d_i), d_i], -1)
+            Gij = lie.mul(poses[jx_c], lie.inv(poses[ix]))
+            Xj = lie.act(Gij, Xi)
+            uj = fx * Xj[..., 0] / Xj[..., 2] + cx
+            vj = fy * Xj[..., 1] / Xj[..., 2] + cy
+            dj = Xj[..., 3] / Xj[..., 2]
+            u0 = jnp.floor(uj).astype(jnp.int32)
+            v0 = jnp.floor(vj).astype(jnp.int32)
+            inb = (u0 >= 0) & (v0 >= 0) & (u0 < w - 1) & (v0 < h - 1)
+            u0c = jnp.clip(u0, 0, w - 2)
+            v0c = jnp.clip(v0, 0, h - 2)
+            dmap = disps[jx_c]
+            agree = jnp.zeros_like(d_i, bool)
+            for dv in (0, 1):
+                for du in (0, 1):
+                    dn = dmap[v0c + dv, u0c + du]
+                    agree = agree | (jnp.abs(1.0 / dj - 1.0 / dn) < t)
+            return (agree & inb & valid_j).astype(jnp.float32)
+
+        neighbors = jnp.stack([ix - 1, ix - 2, ix - 3, ix + 3, ix + 4, ix + 5])
+        counts = jnp.zeros((h, w), jnp.float32)
+        for k in range(6):
+            counts = counts + one(neighbors[k])
+        return counts
+
+    return jax.vmap(per_frame)(inds, thresh)
+
+
+@jax.jit
+def reproject_kernel(poses, disps, intrinsics, ii, jj):
+    """Project pixels of frames ii into frames jj (depth_video.py:170-178)."""
+    coords, valid = pops.projective_transform(
+        poses[None], disps[None], intrinsics[None], ii, jj)
+    return coords[0], valid[0]
+
+
+@jax.jit
+def upsample_kernel(disps_sel, upmask):
+    """8× convex upsampling of selected disparity maps."""
+    return upsample_disp(disps_sel, upmask)
+
+
+@jax.jit
+def normalize_kernel(poses, disps, count_mask):
+    """Rescale disparities to unit mean and scale translations to match
+    (depth_video.py:160-167). count_mask: (B,) 1.0 for active frames."""
+    s = (jnp.sum(disps * count_mask[:, None, None])
+         / jnp.clip(jnp.sum(count_mask) * disps.shape[1] * disps.shape[2], 1.0))
+    disps = jnp.where(count_mask[:, None, None] > 0, disps / s, disps)
+    poses = poses.at[:, :3].set(
+        jnp.where(count_mask[:, None] > 0, poses[:, :3] * s, poses[:, :3]))
+    return poses, disps
+
+
+class DepthVideo:
+    """Host facade over VideoState, mirroring the reference API."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.H = cfg["cam"]["H_out"]
+        self.W = cfg["cam"]["W_out"]
+        self.down = 8
+        self.buffer = cfg["tracking"]["buffer"]
+        self.BA_type = cfg["tracking"]["backend"]["BA_type"]
+        self.mono_thres = cfg["tracking"]["mono_thres"]
+        self.state = make_video_state(self.buffer, self.H, self.W, self.down)
+        self.counter = 0
+        self.dirty = np.zeros(self.buffer, bool)
+        self.npc_dirty = np.zeros(self.buffer, bool)
+
+    @property
+    def ht(self):
+        return self.H
+
+    @property
+    def wd(self):
+        return self.W
+
+    # -- item access ------------------------------------------------------
+
+    def append(self, timestamp, image, pose, disp, mono_depth, intrinsics,
+               fmap, net=None, inp=None):
+        """Add a keyframe (depth_video.py:75-134 semantics)."""
+        idx = self.counter
+        self.set_item(idx, timestamp, image, pose, disp, mono_depth,
+                      intrinsics, fmap, net, inp)
+        self.counter = idx + 1
+
+    def set_item(self, idx, timestamp, image, pose=None, disp=None,
+                 mono_depth=None, intrinsics=None, fmap=None, net=None,
+                 inp=None):
+        s = self.state
+        s.timestamp = s.timestamp.at[idx].set(timestamp)
+        if image is not None:
+            s.images = s.images.at[idx].set(image.astype(jnp.uint8))
+        if pose is not None:
+            s.poses = s.poses.at[idx].set(pose)
+        if disp is not None:
+            s.disps = s.disps.at[idx].set(
+                jnp.broadcast_to(jnp.asarray(disp, jnp.float32),
+                                 s.disps.shape[1:]))
+        if mono_depth is not None:
+            # subsample full-res mono depth with the reference pixel offset
+            # (depth_video.py:94-96) and store as disparity
+            off = self.down // 2 - 1
+            md = jnp.asarray(mono_depth)[off::self.down, off::self.down]
+            md = md[: s.mono_disps.shape[1], : s.mono_disps.shape[2]]
+            s.mono_disps = s.mono_disps.at[idx].set(
+                jnp.where(md > 0, 1.0 / md, 0.0))
+        if intrinsics is not None:
+            s.intrinsics = s.intrinsics.at[idx].set(intrinsics)
+        if fmap is not None:
+            s.fmaps = s.fmaps.at[idx].set(fmap.astype(jnp.bfloat16))
+        if net is not None:
+            s.nets = s.nets.at[idx].set(net)
+        if inp is not None:
+            s.inps = s.inps.at[idx].set(inp)
+        if idx >= self.counter:
+            self.counter = idx + 1
+
+    # -- geometry ----------------------------------------------------------
+
+    def reproject(self, ii, jj):
+        ii = jnp.asarray(ii, jnp.int32).reshape(-1)
+        jj = jnp.asarray(jj, jnp.int32).reshape(-1)
+        return reproject_kernel(self.state.poses, self.state.disps,
+                                self.state.intrinsics, ii, jj)
+
+    def distance(self, ii=None, jj=None, beta=0.3, bidirectional=True):
+        """Frame distance metric (depth_video.py:180-210)."""
+        return_matrix = ii is None
+        if return_matrix:
+            N = self.counter
+            ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+        ii = jnp.asarray(np.asarray(ii).reshape(-1), jnp.int32)
+        jj = jnp.asarray(np.asarray(jj).reshape(-1), jnp.int32)
+        intr = self.state.intrinsics[0]
+        if bidirectional:
+            d1 = frame_distance_kernel(self.state.poses, self.state.disps,
+                                       intr, ii, jj, beta)
+            d2 = frame_distance_kernel(self.state.poses, self.state.disps,
+                                       intr, jj, ii, beta)
+            d = 0.5 * (d1 + d2)
+        else:
+            d = frame_distance_kernel(self.state.poses, self.state.disps,
+                                      intr, ii, jj, beta)
+        d = np.asarray(d)
+        if return_matrix:
+            return d.reshape(int(np.sqrt(d.size)), -1)
+        return d
+
+    def upsample(self, ix, upmask):
+        ix = jnp.asarray(np.asarray(ix).reshape(-1), jnp.int32)
+        up = upsample_kernel(self.state.disps[ix], upmask)
+        self.state.disps_up = self.state.disps_up.at[ix].set(up)
+
+    def normalize(self):
+        mask = jnp.asarray(np.arange(self.buffer) < self.counter, jnp.float32)
+        self.state.poses, self.state.disps = normalize_kernel(
+            self.state.poses, self.state.disps, mask)
+        self.set_dirty(0, self.counter)
+
+    # -- BA dispatch (DSPO layer, depth_video.py:212-312) -------------------
+
+    def ba(self, target, weight, eta, ii, jj, t0=1, t1=None, iters=2,
+           lm=1e-4, ep=0.1, motion_only=False, opt_type="pose_depth"):
+        if self.BA_type == "DSPO":
+            ok = self.dspo(target, weight, eta, ii, jj, t0, t1, iters, lm,
+                           ep, motion_only, opt_type)
+            if not ok:
+                self.dspo(target, weight, eta, ii, jj, t0, t1, iters, lm,
+                          ep, motion_only, "pose_depth")
+        elif self.BA_type == "DBA":
+            self.dspo(target, weight, eta, ii, jj, t0, t1, iters, lm, ep,
+                      motion_only, "pose_depth")
+        else:
+            raise NotImplementedError(self.BA_type)
+
+    def dspo(self, target, weight, eta, ii, jj, t0=1, t1=None, iters=2,
+             lm=1e-4, ep=0.1, motion_only=False, opt_type="pose_depth"):
+        """DSPO layer: stage-1 pose+depth / stage-2 depth+scale+shift."""
+        ii_np = np.asarray(ii).reshape(-1)
+        jj_np = np.asarray(jj).reshape(-1)
+        if t1 is None:
+            t1 = int(max(ii_np.max(), jj_np.max())) + 1
+        plan = ba_ops.make_edge_plan(ii_np, jj_np, int(t0), int(t1))
+        s = self.state
+        M = plan.M
+        h, w = s.disps.shape[-2:]
+        # per-depth-frame damping: eta rows follow kx (ba_cuda:1338-1346)
+        eta_full = jnp.zeros((M, h, w), jnp.float32)
+        kx = np.asarray(plan.kx)
+        eta_rows = np.asarray(jnp.asarray(eta)) if eta is not None else None
+        if eta_rows is not None:
+            # caller supplies eta for unique(ii); map onto kx rows
+            uniq = np.unique(ii_np)
+            lut = {int(f): r for r, f in enumerate(uniq)}
+            rows = np.asarray([lut.get(int(f), -1) for f in kx])
+            sel = rows >= 0
+            eta_full = eta_full.at[jnp.asarray(np.where(sel)[0])].set(
+                jnp.asarray(eta_rows[rows[sel]]))
+
+        if opt_type == "pose_depth":
+            sens = jnp.zeros_like(s.disps)  # reference passes zeros
+            s.poses, s.disps = ba_ops.dba(
+                s.poses, s.disps, s.intrinsics[0], target, weight, eta_full,
+                sens, plan, iters=iters, lm=lm, ep=ep,
+                motion_only=motion_only)
+            return True
+
+        if opt_type == "depth_scale":
+            self.update_valid_depth_mask(up=False)
+            curr = self.counter
+            mono = s.mono_disps[:curr]
+            est = s.disps[:curr]
+            valid = s.valid_depth_mask_small[:curr]
+            scale_t, shift_t, err_t = ba_ops.align_scale_and_shift(
+                mono, est, valid)
+            s.depth_scale = s.depth_scale.at[:curr].set(scale_t)
+            s.depth_shift = s.depth_shift.at[:curr].set(shift_t)
+
+            ii_t, jj_t, target_t, weight_t = ii_np, jj_np, target, weight
+            if self.mono_thres:
+                # drop edges touching frames with bad mono depth
+                # (depth_video.py:256-276)
+                avg_disps = np.asarray(est.mean(axis=(1, 2)))
+                err_np = np.asarray(err_t)
+                scale_np = np.asarray(scale_t)
+                valid_frac = np.asarray(valid.mean(axis=(1, 2)))
+                bad = ((err_np / np.clip(avg_disps, 1e-8, None) > self.mono_thres)
+                       | ~np.isfinite(err_np) | (scale_np < 0)
+                       | (valid_frac < 0.5))
+                bad_frames = set(np.where(bad)[0].tolist())
+                keep = np.asarray([
+                    (int(a) not in bad_frames) and (int(b) not in bad_frames)
+                    for a, b in zip(ii_np, jj_np)])
+                if keep.sum() == 0:
+                    return False
+                ii_t = ii_np[keep]
+                jj_t = jj_np[keep]
+                target_t = target[jnp.asarray(np.where(keep)[0])]
+                weight_t = weight[jnp.asarray(np.where(keep)[0])]
+
+            if curr <= 0 or len(ii_t) == 0:
+                return False
+            plan2 = ba_ops.make_edge_plan(ii_t, jj_t, int(t0), int(t1))
+            eta2 = jnp.zeros((plan2.M, h, w), jnp.float32)
+            uniq = np.unique(ii_t)
+            if eta_rows is not None:
+                uniq_all = np.unique(ii_np)
+                lut = {int(f): r for r, f in enumerate(uniq_all)}
+                kx2 = np.asarray(plan2.kx)
+                rows = np.asarray([lut.get(int(f), -1) for f in kx2])
+                sel = rows >= 0
+                eta2 = eta2.at[jnp.asarray(np.where(sel)[0])].set(
+                    jnp.asarray(eta_rows[rows[sel]]))
+            s.disps, s.depth_scale, s.depth_shift = ba_ops.ba_scale_shift(
+                s.poses, s.disps, s.intrinsics[0], target_t, weight_t, eta2,
+                s.mono_disps, s.depth_scale, s.depth_shift,
+                s.valid_depth_mask_small, plan2, iters=iters, lm=lm, ep=ep,
+                alpha=0.01)
+            return True
+
+        raise NotImplementedError(opt_type)
+
+    # -- multiview filter (depth_video.py:340-375) --------------------------
+
+    def update_valid_depth_mask(self, up=True):
+        if up:
+            dirty_index = np.where(self.dirty)[0]
+            if len(dirty_index) == 0:
+                return
+        else:
+            dirty_index = np.arange(self.counter)
+        if len(dirty_index) == 0:
+            return
+        s = self.state
+        disps = (s.disps_up if up else s.disps)[jnp.asarray(dirty_index)]
+        intr = s.intrinsics[0] * (self.down if up else 1.0)
+        depths = 1.0 / jnp.clip(disps, 1e-8)
+        thresh = (self.cfg["tracking"]["multiview_filter"]["thresh"]
+                  * depths.mean(axis=(1, 2)))
+        count = depth_filter_kernel(
+            s.poses, s.disps_up if up else s.disps, intr,
+            jnp.asarray(dirty_index, jnp.int32), thresh)
+        visible_num = self.cfg["tracking"]["multiview_filter"]["visible_num"]
+        multiview = count >= visible_num
+        depths_mv = jnp.where(multiview, depths, jnp.nan)
+        med = jnp.nanmedian(depths_mv.reshape(len(dirty_index), -1), axis=1)
+        masks = multiview & (depths < 3 * med[:, None, None])
+        idx = jnp.asarray(dirty_index)
+        if up:
+            s.valid_depth_mask = s.valid_depth_mask.at[idx].set(masks)
+            self.dirty[dirty_index] = False
+        else:
+            s.valid_depth_mask_small = s.valid_depth_mask_small.at[idx].set(masks)
+
+    def set_dirty(self, start, end):
+        self.dirty[start:end] = True
+        self.npc_dirty[start:end] = True
+
+    # -- export (depth_video.py:327-398) ------------------------------------
+
+    def get_pose(self, index):
+        """c2w 4x4 matrix for keyframe index."""
+        w2c = self.state.poses[index]
+        return np.asarray(lie.to_matrix(lie.inv(w2c)))
+
+    def get_depth_and_pose(self, index):
+        est_disp = self.state.disps_up[index]
+        est_depth = np.asarray(1.0 / jnp.clip(est_disp, 1e-8))
+        mask = np.asarray(self.state.valid_depth_mask[index])
+        return est_depth, mask, self.get_pose(index)
+
+    def save_video(self, path: str):
+        poses, depths, masks, stamps = [], [], [], []
+        for i in range(self.counter):
+            d, m, p = self.get_depth_and_pose(i)
+            poses.append(p)
+            depths.append(d)
+            masks.append(m)
+            stamps.append(float(self.state.timestamp[i]))
+        np.savez(path, poses=np.stack(poses), depths=np.stack(depths),
+                 timestamps=np.asarray(stamps),
+                 valid_depth_masks=np.stack(masks))
+
+    def get_depth_scale_and_shift(self, index, mono_depth, est_depth, weights):
+        scale, shift, _ = ba_ops.align_scale_and_shift(
+            mono_depth[None], est_depth[None], weights[None])
+        self.state.depth_scale = self.state.depth_scale.at[index].set(scale[0])
+        self.state.depth_shift = self.state.depth_shift.at[index].set(shift[0])
+        return [float(scale[0]), float(shift[0])]
+
+    def eval_depth_l1(self, npz_path, stream, global_scale=None):
+        """Proxy-depth L1 vs GT (depth_video.py:401-448)."""
+        data = np.load(npz_path)
+        stamps = data["timestamps"]
+        l1_list, l1_4m, cover = [], [], []
+        for i in range(stamps.shape[0]):
+            ts = int(stamps[i])
+            mask = np.asarray(self.state.valid_depth_mask[i])
+            cover.append(mask.mean())
+            disp = np.asarray(self.state.disps_up[i])
+            depth = 1.0 / np.clip(disp, 1e-8, None)
+            depth[~mask] = 0
+            depth_gt = np.asarray(stream[ts][2])
+            m = (depth_gt > 0) & mask
+            for (out, extra_mask) in ((l1_list, None), (l1_4m, depth_gt < 4)):
+                mm = m if extra_mask is None else (m & extra_mask)
+                if mm.sum() == 0:
+                    out.append(np.nan)
+                    continue
+                d = depth.copy()
+                d[~mm] = 0
+                if global_scale is None:
+                    sc, sh, _ = ba_ops.align_scale_and_shift(
+                        jnp.asarray(d)[None], jnp.asarray(depth_gt)[None],
+                        jnp.asarray(mm.astype(np.float32))[None])
+                    d = float(sc[0]) * d + float(sh[0])
+                else:
+                    d = global_scale * d
+                out.append(np.abs(d[mm] - depth_gt[mm]).mean())
+        return (float(np.nanmean(l1_list)), float(np.nanmean(l1_4m)),
+                float(np.mean(cover)))

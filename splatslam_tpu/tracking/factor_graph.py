@@ -1,0 +1,435 @@
+"""Factor graph: edge bookkeeping on host, one fused update kernel on device.
+
+TPU-native re-design of the reference FactorGraph
+(thirdparty/glorie_slam/factor_graph.py:23-476):
+
+  * Edge sets (ii, jj, age) live in host numpy — they drive control flow
+    (NMS, dedup, proximity proposals), which the reference also runs on
+    CPU (factor_graph.py:337-397). Per-edge tensors (GRU hidden state,
+    target flow, weights) live on device, padded to shape buckets.
+  * The update operator — reproject → local correlation → ConvGRU →
+    delta/weight heads → GraphAgg — is ONE jitted kernel
+    (`_update_kernel`), chunked over edges so alt-corr transients stay
+    VMEM-friendly. The reference's two code paths (precomputed volume
+    frontend, alt-corr `update_lowmem` backend) collapse into one: we
+    never materialize the O(N·HW²) correlation volume at all — the
+    lookup window is computed on the fly (corr.alt_corr), which on TPU is
+    MXU work instead of an HBM-bandwidth-bound gather over a ~GB volume.
+  * Bundle adjustment is dispatched through DepthVideo.ba (the DSPO
+    layer) exactly like factor_graph.py:265.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.droid_net import DroidNet
+from ..ops import corr as corr_ops
+from ..ops import projective as pops
+
+_NET_DTYPE = jnp.float32
+_EDGE_BUCKET = 32
+_KF_BUCKET = 8
+_CORR_CHUNK = 8
+
+
+def _round_up(x, m):
+    return max(((x + m - 1) // m) * m, m)
+
+
+@partial(jax.jit, static_argnames=("num_kf", "num_levels"))
+def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
+                   net, target, ii, jj, edge_valid, ix, num_kf: int,
+                   num_levels: int = 4):
+    """Fused DROID update operator over a padded edge set.
+
+    params: DroidNet params; poses (B,7); disps (B,h,w); intrinsics (4,);
+    fmaps (B,h,w,128) bf16; inps (B,h,w,128); net (N,h,w,128);
+    target (N,h,w,2); ii/jj (N,); edge_valid (N,) bool; ix (N,) slot of
+    ii within the padded unique-keyframe list.
+
+    Returns (net', target', weight, eta, upmask, coords1, mask).
+    """
+    model = DroidNet()
+    h, w = disps.shape[-2:]
+    coords0 = pops.coords_grid(h, w)
+
+    intr_t = jnp.broadcast_to(intrinsics, (poses.shape[0], 4))
+    coords1, mask = pops.projective_transform(
+        poses[None], disps[None], intr_t[None], ii, jj)
+    coords1 = coords1[0]
+    mask = mask[0]
+
+    motn = jnp.concatenate(
+        [coords1 - coords0[None], target - coords1], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    fmap_pyr = corr_ops.build_fmap_pyramid(
+        fmaps.astype(jnp.float32), num_levels)
+
+    N = ii.shape[0]
+    chunk = min(_CORR_CHUNK, N)
+    n_chunks = N // chunk  # N is bucket-padded to a multiple of chunk
+
+    def chunk_fn(args):
+        ii_c, jj_c, net_c, motn_c, coords_c = args
+        corr = corr_ops.alt_corr(fmap_pyr, ii_c, jj_c, coords_c)
+        inp_c = inps[ii_c]
+        net_n, delta, weight = model.apply(
+            {"params": params}, net_c, inp_c, corr, motn_c,
+            method=DroidNet.update_step)
+        return net_n, delta, weight
+
+    rs = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+    net_n, delta, weight = jax.lax.map(
+        chunk_fn, (rs(ii), rs(jj), rs(net), rs(motn), rs(coords1)))
+    merge = lambda x: x.reshape((N,) + x.shape[2:])
+    net_n, delta, weight = merge(net_n), merge(delta), merge(weight)
+
+    eta, upmask = model.apply({"params": params}, net_n, ix, num_kf + 1,
+                              method=DroidNet.update_agg)
+    eta = eta[:num_kf]
+    upmask = upmask[:num_kf]
+
+    ev = edge_valid[:, None, None, None]
+    target_new = jnp.where(ev, coords1 + delta.astype(jnp.float32), target)
+    weight_new = jnp.where(ev, weight.astype(jnp.float32), 0.0)
+    net_n = jnp.where(ev, net_n, net)
+    return net_n, target_new, weight_new, eta, upmask, coords1, mask
+
+
+class FactorGraph:
+    """Mirrors the reference FactorGraph API on top of the fused kernel."""
+
+    def __init__(self, video, params, max_factors=-1, upsample=True):
+        self.video = video
+        self.params = params
+        self.max_factors = max_factors
+        self.upsample_flag = upsample
+
+        self.h = video.H // video.down
+        self.w = video.W // video.down
+
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+        self.net = jnp.zeros((0, self.h, self.w, 128), _NET_DTYPE)
+        self.target = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
+        self.weight = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
+
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.target_inac = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+
+        self.damping = 1e-6 * np.ones((video.buffer,), np.float32)  # scalar fallback
+        self.damping_maps = 1e-6 * jnp.ones(
+            (video.buffer, self.h, self.w), jnp.float32)
+
+    # -- edge mutation (factor_graph.py:111-223) ----------------------------
+
+    def __filter_repeated_edges(self, ii, jj):
+        eset = set(zip(self.ii.tolist(), self.jj.tolist())) | set(
+            zip(self.ii_inac.tolist(), self.jj_inac.tolist()))
+        keep = np.asarray([(i, j) not in eset for i, j in zip(ii, jj)], bool)
+        return ii[keep], jj[keep]
+
+    def add_factors(self, ii, jj, remove=False):
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        ii, jj = self.__filter_repeated_edges(ii, jj)
+        if ii.shape[0] == 0:
+            return
+
+        if (self.max_factors > 0
+                and self.ii.shape[0] + ii.shape[0] > self.max_factors
+                and self.ii.shape[0] > 0 and remove):
+            ix = np.argsort(self.age)
+            keep_rank = np.empty_like(ix)
+            keep_rank[ix] = np.arange(len(ix))
+            drop = keep_rank >= (self.max_factors - ii.shape[0])
+            self.rm_factors(drop, store=True)
+
+        net = self.video.state.nets[jnp.asarray(ii)].astype(_NET_DTYPE)
+        target, _ = self.video.reproject(ii, jj)
+        weight = jnp.zeros_like(target)
+
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros_like(ii)])
+        self.net = jnp.concatenate([self.net, net], 0)
+        self.target = jnp.concatenate([self.target, target], 0)
+        self.weight = jnp.concatenate([self.weight, weight], 0)
+
+    def rm_factors(self, mask, store=False):
+        mask = np.asarray(mask, bool)
+        if mask.sum() == 0:
+            return
+        if store:
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
+            sel = jnp.asarray(np.where(mask)[0])
+            self.target_inac = jnp.concatenate(
+                [self.target_inac, self.target[sel]], 0)
+            self.weight_inac = jnp.concatenate(
+                [self.weight_inac, self.weight[sel]], 0)
+        keep = jnp.asarray(np.where(~mask)[0])
+        self.ii = self.ii[~mask]
+        self.jj = self.jj[~mask]
+        self.age = self.age[~mask]
+        self.net = self.net[keep]
+        self.target = self.target[keep]
+        self.weight = self.weight[keep]
+
+    def filter_edges(self):
+        """Remove edges with low confidence (factor_graph.py:83-90)."""
+        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    def clear_edges(self):
+        self.__init__(self.video, self.params, self.max_factors,
+                      self.upsample_flag)
+
+    def rm_keyframe(self, ix):
+        """Drop keyframe ix: shift the video ring buffer down and fix up
+        edge indices (factor_graph.py:187-223)."""
+        s = self.video.state
+        B = self.video.buffer
+        src = np.arange(B)
+        src[ix:-1] = src[ix:-1] + 1
+        src = jnp.asarray(np.clip(src, 0, B - 1))
+        for name in ("timestamp", "images", "poses", "disps", "disps_up",
+                     "intrinsics", "mono_disps", "depth_scale", "depth_shift",
+                     "valid_depth_mask", "valid_depth_mask_small", "fmaps",
+                     "nets", "inps", "damping"):
+            setattr(s, name, getattr(s, name)[src])
+        self.damping_maps = self.damping_maps[src]
+        d = self.video.dirty
+        d[ix:-1] = d[ix + 1:]
+        d2 = self.video.npc_dirty
+        d2[ix:-1] = d2[ix + 1:]
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1,
+                                self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
+                                self.jj_inac)
+        if m.any():
+            keep = jnp.asarray(np.where(~m)[0])
+            self.ii_inac = self.ii_inac[~m]
+            self.jj_inac = self.jj_inac[~m]
+            self.target_inac = self.target_inac[keep]
+            self.weight_inac = self.weight_inac[keep]
+
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.rm_factors(m, store=False)
+
+    # -- the update operator (factor_graph.py:226-270) -----------------------
+
+    def _padded_edges(self):
+        """Bucket-pad (ii, jj) and build unique-keyframe slots."""
+        n = self.ii.shape[0]
+        Np = _round_up(n, _EDGE_BUCKET)
+        ii_p = np.concatenate([self.ii, np.zeros(Np - n, np.int64)])
+        jj_p = np.concatenate([self.jj, np.zeros(Np - n, np.int64)])
+        valid = np.arange(Np) < n
+        uniq, inv = np.unique(self.ii, return_inverse=True)
+        Mk = _round_up(len(uniq), _KF_BUCKET)
+        ix = np.concatenate([inv, np.full(Np - n, Mk, np.int64)])
+        return ii_p, jj_p, valid, ix, uniq, Mk
+
+    def update(self, t0=None, t1=None, itrs=2, use_inactive=False,
+               EP=1e-7, motion_only=False, opt_type="pose_depth"):
+        if self.ii.shape[0] == 0:
+            return
+        ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
+        n = self.ii.shape[0]
+        Np = len(ii_p)
+        pad = Np - n
+
+        def pad_dev(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0) if pad else x
+
+        s = self.video.state
+        net_n, target, weight, eta, upmask, coords1, _ = _update_kernel(
+            self.params, s.poses, s.disps, s.intrinsics[0], s.fmaps, s.inps,
+            pad_dev(self.net), pad_dev(self.target),
+            jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
+            jnp.asarray(valid), jnp.asarray(ix, jnp.int32), Mk)
+
+        self.net = net_n[:n]
+        self.target = target[:n]
+        self.weight = weight[:n]
+
+        # per-keyframe damping (factor_graph.py:250)
+        uniq_j = jnp.asarray(uniq)
+        self.damping_maps = self.damping_maps.at[uniq_j].set(
+            eta[:len(uniq)])
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+
+        if use_inactive:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            ii = np.concatenate([self.ii_inac[m], self.ii])
+            jj = np.concatenate([self.jj_inac[m], self.jj])
+            sel = jnp.asarray(np.where(m)[0])
+            target_all = jnp.concatenate([self.target_inac[sel], self.target], 0)
+            weight_all = jnp.concatenate([self.weight_inac[sel], self.weight], 0)
+        else:
+            ii, jj = self.ii, self.jj
+            target_all, weight_all = self.target, self.weight
+
+        uniq_all = np.unique(ii)
+        damping = 0.2 * self.damping_maps[jnp.asarray(uniq_all)] + EP
+
+        self.video.ba(target_all, weight_all, damping, ii, jj, t0, t1,
+                      iters=itrs, lm=1e-4, ep=0.1, motion_only=motion_only,
+                      opt_type=opt_type)
+
+        if self.upsample_flag:
+            self.video.upsample(uniq, upmask[:len(uniq)])
+        self.age += 1
+
+    def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,
+                      EP=1e-7, steps=8, enable_wq=True):
+        """Global-BA update loop (factor_graph.py:273-323). The reference
+        alternates sub-batched GRU sweeps with BA; our update() already
+        streams edges in chunks, so each step is one fused sweep + BA."""
+        for step in range(steps):
+            opt_type = ("pose_depth" if (step % 2 == 0 or not enable_wq)
+                        else "depth_scale")
+            self.update(t0=t0, t1=t1, itrs=itrs, use_inactive=use_inactive,
+                        EP=EP, opt_type=opt_type)
+
+    # -- edge proposal (factor_graph.py:326-476) -----------------------------
+
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1),
+                             indexing="ij")
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        t = self.video.counter
+        ix_r = np.arange(t0, t)
+        jx_r = np.arange(t1, t)
+        if len(ix_r) == 0 or len(jx_r) == 0:
+            return
+        ii, jj = np.meshgrid(ix_r, jx_r, indexing="ij")
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        d = self.video.distance(ii, jj, beta=beta).copy()
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+
+        def suppress(i, j):
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= max(min(abs(i - j) - 2, nms), 0):
+                        i1, j1 = i + di, j + dj
+                        if (t0 <= i1 < t) and (t1 <= j1 < t):
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        for i, j in zip(ii1, jj1):
+            suppress(int(i), int(j))
+
+        es = []
+        for i in range(t0, t):
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                d[(i - t0) * (t - t1) + (j - t1)] = np.inf
+
+        for k in np.argsort(d):
+            if d[k] > thresh:
+                continue
+            if len(es) > self.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            suppress(i, j)
+
+        if es:
+            es = np.asarray(es)
+            self.add_factors(es[:, 0], es[:, 1], remove)
+
+    def add_backend_proximity_factors(self, t_start, t_end, nms, radius,
+                                      thresh, max_factors, beta,
+                                      t_start_loop=None, loop=False):
+        """Backend/loop-closure edge proposal (factor_graph.py:400-476)."""
+        if t_start_loop is None or not loop:
+            t_start_loop = t_start
+        ilen = t_end - t_start_loop
+        jlen = t_end - t_start
+        if ilen <= 0 or jlen <= 0:
+            return 0
+        ix_r = np.arange(t_start_loop, t_end)
+        jx_r = np.arange(t_start, t_end)
+        ii, jj = np.meshgrid(ix_r, jx_r, indexing="ij")
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        d = self.video.distance(ii, jj, beta=beta).copy()
+        rawd = d.copy().reshape(ilen, jlen)
+        d[ii - radius < jj] = np.inf
+        d[d > thresh] = np.inf
+        d = d.reshape(ilen, jlen)
+
+        es = []
+        for i in range(t_start_loop, t_end):
+            for j in range(max(i - radius - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                d[i - t_start_loop, j - t_start] = np.inf
+
+        vals_ix = np.argsort(d.reshape(-1))
+        loop_edges = 0
+        n_neighboring = 1
+        for k in vals_ix:
+            di, dj = k // jlen, k % jlen
+            if d[di, dj] > thresh:
+                break
+            if len(es) > max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            if loop:
+                sub = []
+                for si in range(max(i - n_neighboring, t_start_loop),
+                                min(i + n_neighboring + 1, t_end)):
+                    for sj in range(max(j - n_neighboring, t_start),
+                                    min(j + n_neighboring + 1, t_end)):
+                        if rawd[si - t_start_loop, sj - t_start] <= thresh \
+                                and si != sj and si - sj > 20:
+                            sub.append((si, sj))
+                es += sub
+                loop_edges += len(sub)
+            else:
+                es.append((i, j))
+                es.append((j, i))
+            d[max(0, di - nms):min(ilen, di + nms + 1),
+              max(0, dj - nms):min(jlen, dj + nms + 1)] = np.inf
+
+        if len(es) < 3 or (loop and loop_edges == 0):
+            return 0
+        es = np.asarray(es)
+        self.add_factors(es[:, 0], es[:, 1], remove=True)
+        return len(self.ii)

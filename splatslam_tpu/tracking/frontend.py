@@ -1,0 +1,125 @@
+"""Frontend: sliding-window local BA with keyframe culling + loop closure.
+
+Reference: thirdparty/glorie_slam/frontend.py:19-145 — the same control
+flow (bootstrap after `warmup` keyframes, per-keyframe proximity edges,
+alternating DSPO stages, distance-based keyframe culling, loop BA).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .factor_graph import FactorGraph
+from .backend import Backend
+
+
+class Frontend:
+    def __init__(self, params, video, cfg):
+        self.video = video
+        self.params = params
+        self.t1 = 0
+        self.is_initialized = False
+
+        tr = cfg["tracking"]
+        self.max_age = tr["max_age"]
+        self.iters1 = 4 * 2
+        self.iters2 = 2 * 2
+        self.warmup = tr["warmup"]
+        self.beta = tr["beta"]
+        fe = tr["frontend"]
+        self.frontend_nms = fe["nms"]
+        self.keyframe_thresh = fe["keyframe_thresh"]
+        self.frontend_window = fe["window"]
+        self.frontend_thresh = fe["thresh"]
+        self.frontend_radius = fe["radius"]
+        self.frontend_max_factors = fe["max_factors"]
+        self.enable_loop = fe["enable_loop"]
+
+        self.loop_closing = Backend(params, video, cfg)
+        self.graph = FactorGraph(video, params,
+                                 max_factors=self.frontend_max_factors)
+        self.last_loop_t = -1
+
+    def __update(self):
+        """Per-keyframe update (frontend.py:54-100)."""
+        self.t1 += 1
+        if len(self.graph.ii) > 0:
+            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+
+        for itr in range(self.iters1):
+            opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
+            self.graph.update(None, None, use_inactive=True,
+                              opt_type=opt_type)
+
+        d = self.video.distance([self.t1 - 2], [self.t1 - 1],
+                                beta=self.beta, bidirectional=True)
+
+        if float(d[0]) < self.keyframe_thresh:
+            self.graph.rm_keyframe(self.t1 - 1)
+            self.video.counter -= 1
+            self.t1 -= 1
+        else:
+            cur_t = self.video.counter
+            if self.enable_loop and cur_t > self.frontend_window:
+                _, n_edge = self.loop_closing.loop_ba(
+                    t_start=0, t_end=cur_t, steps=self.iters2,
+                    motion_only=False, local_graph=self.graph,
+                    enable_wq=True)
+                if n_edge == 0:
+                    for itr in range(self.iters2):
+                        opt_type = ("pose_depth" if itr % 2 == 0
+                                    else "depth_scale")
+                        self.graph.update(None, None, use_inactive=True,
+                                          opt_type=opt_type)
+                self.last_loop_t = cur_t
+            else:
+                for itr in range(self.iters2):
+                    opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
+                    self.graph.update(None, None, use_inactive=True,
+                                      opt_type=opt_type)
+
+        # seed next frame: copy pose, set disparity to the mean
+        # (frontend.py:95-96)
+        s = self.video.state
+        s.poses = s.poses.at[self.t1].set(s.poses[self.t1 - 1])
+        s.disps = s.disps.at[self.t1].set(s.disps[self.t1 - 1].mean())
+
+        if len(self.graph.ii) > 0:
+            self.video.set_dirty(int(self.graph.ii.min()), self.t1)
+
+    def __initialize(self):
+        """Bootstrap after warmup keyframes (frontend.py:102-131)."""
+        self.t1 = self.video.counter
+
+        self.graph.add_neighborhood_factors(0, self.t1, r=3)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+
+        self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
+                                         thresh=self.frontend_thresh,
+                                         remove=False)
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+
+        s = self.video.state
+        s.poses = s.poses.at[self.t1].set(s.poses[self.t1 - 1])
+        s.disps = s.disps.at[self.t1].set(
+            s.disps[self.t1 - 4:self.t1].mean())
+
+        self.is_initialized = True
+        self.video.set_dirty(0, self.t1)
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    def __call__(self):
+        if not self.is_initialized and self.video.counter == self.warmup:
+            self.__initialize()
+            self.video.update_valid_depth_mask()
+        elif self.is_initialized and self.t1 < self.video.counter:
+            self.__update()
+            self.video.update_valid_depth_mask()

@@ -1,0 +1,92 @@
+"""Motion filter: keyframe gating by mean optical-flow magnitude.
+
+Reference: thirdparty/glorie_slam/motion_filter.py:23-105. Per frame:
+encode features, correlate against the last keyframe, run one GRU
+iteration, and admit the frame as a keyframe if the mean flow revision
+exceeds the threshold. The whole check is one jitted kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.droid_net import DroidNet, normalize_images
+from ..ops import corr as corr_ops
+from ..ops import projective as pops
+from ..ops import lie
+
+
+@jax.jit
+def encode_features(params, image):
+    """image (H,W,3) float [0,1] → fmap (h,w,128)."""
+    net = DroidNet()
+    inputs = normalize_images(image)[None]
+    return net.apply({"params": params}, inputs,
+                     method=DroidNet.features)[0]
+
+
+@jax.jit
+def encode_context(params, image):
+    net = DroidNet()
+    inputs = normalize_images(image)[None]
+    cn, ci = net.apply({"params": params}, inputs, method=DroidNet.context)
+    return cn[0], ci[0]
+
+
+@jax.jit
+def flow_magnitude(params, fmap_last, gmap, net_last, inp_last):
+    """One update-operator iteration vs the last keyframe; returns the
+    mean ‖delta‖ (motion_filter.py:85-94)."""
+    model = DroidNet()
+    h, w = fmap_last.shape[:2]
+    coords0 = pops.coords_grid(h, w)[None]
+    pyr = corr_ops.build_corr_pyramid(
+        fmap_last[None].astype(jnp.float32), gmap[None].astype(jnp.float32))
+    corr = corr_ops.lookup_pyramid(pyr, coords0)
+    _, delta, _ = model.apply(
+        {"params": params}, net_last[None], inp_last[None], corr,
+        method=DroidNet.update_step)
+    return jnp.linalg.norm(delta, axis=-1).mean()
+
+
+class MotionFilter:
+    def __init__(self, params, video, cfg, mono_fn=None):
+        self.params = params
+        self.video = video
+        self.thresh = cfg["tracking"]["motion_filter"]["thresh"]
+        self.mono_fn = mono_fn      # (tstamp, image) -> full-res depth or None
+        self.count = 0
+        self.fmap = None
+        self.net = None
+        self.inp = None
+
+    def track(self, tstamp, image, intrinsics):
+        """image (H,W,3) float [0,1]; intrinsics (4,) full-res."""
+        gmap = encode_features(self.params, image)
+        intr8 = jnp.asarray(intrinsics) / float(self.video.down)
+
+        if self.video.counter == 0:
+            net, inp = encode_context(self.params, image)
+            self.fmap, self.net, self.inp = gmap, net, inp
+            mono = self.mono_fn(tstamp, image) if self.mono_fn else None
+            self.video.append(
+                tstamp, image * 255.0, lie.identity(), 1.0, mono, intr8,
+                gmap, net, inp)
+            return True
+
+        delta = float(flow_magnitude(self.params, self.fmap, gmap,
+                                     self.net, self.inp))
+        if delta > self.thresh:
+            self.count = 0
+            net, inp = encode_context(self.params, image)
+            self.fmap, self.net, self.inp = gmap, net, inp
+            mono = self.mono_fn(tstamp, image) if self.mono_fn else None
+            self.video.append(
+                tstamp, image * 255.0, None, None, mono, intr8,
+                gmap, net, inp)
+            return True
+        self.count += 1
+        return False

@@ -1,0 +1,75 @@
+"""Post-hoc pose recovery for non-keyframes.
+
+Reference: thirdparty/glorie_slam/trajectory_filler.py:23-123 — linear
+SE3 interpolation between bracketing keyframes, then 12 motion-only BA
+iterations per 16-frame batch against both bracketing keyframes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import lie
+from .factor_graph import FactorGraph
+from .motion_filter import encode_features
+
+
+class PoseTrajectoryFiller:
+    def __init__(self, params, video):
+        self.params = params
+        self.video = video
+
+    def _fill(self, timestamps, images, intrinsics):
+        """One ≤16-frame batch (trajectory_filler.py:48-95)."""
+        N = self.video.counter
+        M = len(timestamps)
+        s = self.video.state
+
+        ts = np.asarray(s.timestamp[:N])
+        tt = np.asarray(timestamps, np.float32)
+        t0 = np.asarray([max((ts <= t).sum() - 1, 0) for t in tt])
+        t1 = np.where(t0 < N - 1, t0 + 1, t0)
+
+        Ps = s.poses[:N]
+        dt = jnp.asarray(ts[t1] - ts[t0] + 1e-3)
+        dP = lie.mul(Ps[jnp.asarray(t1)], lie.inv(Ps[jnp.asarray(t0)]))
+        v = lie.log(dP) / dt[:, None]
+        w = v * jnp.asarray(tt - ts[t0])[:, None]
+        Gs = lie.mul(lie.exp(w), Ps[jnp.asarray(t0)])
+
+        # temporarily append the batch as pseudo-keyframes
+        fmap = jnp.stack([encode_features(self.params, im) for im in images])
+        intr8 = jnp.asarray(intrinsics[0]) / float(self.video.down)
+        for m in range(M):
+            self.video.set_item(
+                N + m, float(tt[m]), images[m] * 255.0, Gs[m], 1.0, None,
+                intr8, fmap[m])
+        self.video.counter = N + M
+
+        graph = FactorGraph(self.video, self.params, upsample=False)
+        graph.add_factors(t0, np.arange(N, N + M))
+        graph.add_factors(t1, np.arange(N, N + M))
+        for _ in range(12):
+            graph.update(N, N + M, motion_only=True)
+
+        out = np.asarray(self.video.state.poses[N:N + M])
+        self.video.counter = N
+        return out
+
+    def __call__(self, image_stream):
+        """Fill poses for every frame (trajectory_filler.py:97-123).
+        Returns (n_frames, 7) w2c pose vectors."""
+        pose_list, stamps, images, intrs = [], [], [], []
+        intrinsic = image_stream.get_intrinsic()
+        for i in range(len(image_stream)):
+            timestamp, image, _, _ = image_stream[i]
+            stamps.append(timestamp)
+            images.append(jnp.asarray(image))
+            intrs.append(np.asarray(intrinsic))
+            if len(stamps) == 16:
+                pose_list.append(self._fill(stamps, images, intrs))
+                stamps, images, intrs = [], [], []
+        if stamps:
+            pose_list.append(self._fill(stamps, images, intrs))
+        return np.concatenate(pose_list, axis=0)

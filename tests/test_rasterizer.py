@@ -1,0 +1,145 @@
+"""Tile rasterizer validated against the exact per-pixel reference renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatslam_tpu.ops import rasterizer as rz
+from splatslam_tpu.ops import lie
+
+
+def make_gaussians(n=64, seed=0, spread=1.0, z0=2.0):
+    rng = np.random.RandomState(seed)
+    means = np.concatenate([
+        rng.randn(n, 2) * spread, z0 + rng.rand(n, 1) * 2.0], -1)
+    scales = 0.05 + 0.15 * rng.rand(n, 3)
+    rots = rng.randn(n, 4)
+    rots /= np.linalg.norm(rots, axis=-1, keepdims=True)
+    opac = 0.3 + 0.6 * rng.rand(n)
+    cols = rng.rand(n, 3)
+    return (jnp.asarray(means, jnp.float32), jnp.asarray(scales, jnp.float32),
+            jnp.asarray(rots, jnp.float32), jnp.asarray(opac, jnp.float32),
+            jnp.asarray(cols, jnp.float32))
+
+
+CAM = dict(H=48, W=64)
+INTR = jnp.asarray([40.0, 40.0, 32.0, 24.0])
+BG = jnp.asarray([0.0, 0.0, 0.0])
+W2C = jnp.eye(4)
+TAU0 = jnp.zeros(6)
+
+
+def test_matches_reference_renderer():
+    means, scales, rots, opac, cols = make_gaussians(96)
+    alive = jnp.ones(96, bool)
+    out = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, TAU0,
+                       INTR, BG, H=CAM["H"], W=CAM["W"], K=128, chunk_k=16)
+    cref, dref, aref = rz.rasterize_reference(
+        means, scales, rots, opac, cols, alive, W2C, TAU0, INTR, BG,
+        H=CAM["H"], W=CAM["W"])
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(cref),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(dref),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(aref),
+                               atol=2e-3)
+    assert float(out.alpha.max()) > 0.5  # scene actually covers pixels
+    # visible gaussians get radii and touch pixels
+    assert int((out.radii > 0).sum()) > 50
+    assert int((out.n_touched > 0).sum()) > 30
+
+
+def test_dead_gaussians_invisible():
+    means, scales, rots, opac, cols = make_gaussians(32)
+    alive = jnp.zeros(32, bool).at[:16].set(True)
+    out = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, TAU0,
+                       INTR, BG, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+    assert int(out.n_touched[16:].sum()) == 0
+    assert float(out.radii[16:].max()) == 0.0
+
+
+def test_background_blending():
+    means, scales, rots, opac, cols = make_gaussians(4)
+    alive = jnp.zeros(4, bool)  # nothing alive → pure background
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    out = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, TAU0,
+                       INTR, bg, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+    np.testing.assert_allclose(np.asarray(out.color),
+                               np.broadcast_to(np.asarray(bg), (48, 64, 3)),
+                               atol=1e-6)
+
+
+def test_gradients_flow_everywhere():
+    means, scales, rots, opac, cols = make_gaussians(48)
+    alive = jnp.ones(48, bool)
+    target = jnp.zeros((CAM["H"], CAM["W"], 3)) + 0.5
+
+    def loss_fn(means, scales, rots, opac, cols, tau, dummy):
+        out = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, tau,
+                           INTR, BG, means2d_dummy=dummy,
+                           H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+        return jnp.abs(out.color - target).mean() + 0.1 * out.depth.mean()
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        means, scales, rots, opac, cols, TAU0, jnp.zeros((48, 2)))
+    names = ["means", "scales", "rots", "opac", "cols", "tau", "means2d"]
+    for name, g in zip(names, grads):
+        assert bool(jnp.isfinite(g).all()), name
+        assert float(jnp.abs(g).max()) > 0, f"zero grad for {name}"
+
+
+def test_pose_gradient():
+    """tau gradients: tile path == exact path (tight), and ≈ finite
+    differences on dominant components (loose — the hard ALPHA_MIN /
+    T_MIN cutoffs make the loss only piecewise smooth, exactly like the
+    CUDA rasterizer)."""
+    means, scales, rots, opac, cols = make_gaussians(24, seed=3)
+    alive = jnp.ones(24, bool)
+    target = jnp.linspace(0, 1, CAM["H"] * CAM["W"] * 3).reshape(
+        CAM["H"], CAM["W"], 3)
+
+    def loss_fast(tau):
+        out = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, tau,
+                           INTR, BG, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+        return jnp.sum((out.color - target) ** 2)
+
+    def loss_ref(tau):
+        c, _, _ = rz.rasterize_reference(
+            means, scales, rots, opac, cols, alive, W2C, tau, INTR, BG,
+            H=CAM["H"], W=CAM["W"])
+        return jnp.sum((c - target) ** 2)
+
+    g_fast = np.asarray(jax.grad(loss_fast)(TAU0))
+    g_ref = np.asarray(jax.grad(loss_ref)(TAU0))
+    np.testing.assert_allclose(g_fast, g_ref, rtol=1e-3, atol=1e-3)
+
+    eps = 3e-3
+    for k in range(6):
+        fd = (float(loss_fast(TAU0.at[k].add(eps)))
+              - float(loss_fast(TAU0.at[k].add(-eps)))) / (2 * eps)
+        denom = max(abs(fd), abs(g_fast[k]))
+        if denom > 20.0:  # dominant, FD-measurable components:
+            # same sign and within 2x — all FD can certify on a
+            # piecewise-smooth loss (verified: FD itself moves ~40%
+            # between eps=1e-2 and 1e-3 on this scene)
+            assert np.sign(fd) == np.sign(g_fast[k]), (k, fd, g_fast[k])
+            assert 0.5 < abs(fd / g_fast[k]) < 2.0, (k, fd, g_fast[k])
+
+
+def test_tau_moves_camera():
+    means, scales, rots, opac, cols = make_gaussians(48, seed=5)
+    alive = jnp.ones(48, bool)
+    out0 = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, TAU0,
+                        INTR, BG, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+    tau = jnp.zeros(6).at[0].set(0.1)  # shift right
+    out1 = rz.rasterize(means, scales, rots, opac, cols, alive, W2C, tau,
+                        INTR, BG, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+    # applying +x camera translation shifts content left
+    diff = float(jnp.abs(out1.color - out0.color).mean())
+    assert diff > 1e-3
+    # and equals rendering with the composed base pose
+    w2c2 = lie.to_matrix(lie.exp(tau)) @ W2C
+    out2 = rz.rasterize(means, scales, rots, opac, cols, alive, w2c2, TAU0,
+                        INTR, BG, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
+    np.testing.assert_allclose(np.asarray(out1.color), np.asarray(out2.color),
+                               atol=1e-5)

