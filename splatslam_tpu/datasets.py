@@ -259,6 +259,7 @@ class Synthetic(BaseDataset):
         if max_frames > 0:
             self.n_img = min(self.n_img, max_frames)
         self.seed = syn.get("seed", 7)
+        self.motion_scale = syn.get("motion_scale", 1.0)
         self._build_scene()
 
     def _build_scene(self):
@@ -280,13 +281,14 @@ class Synthetic(BaseDataset):
         Y = (ys - self.cy) / self.fy * d
         self.points = np.stack([X, Y, d], -1).reshape(-1, 3)
         self.colors = tex.reshape(-1, 3)
-        # smooth camera trajectory (c2w)
+        # smooth camera trajectory (c2w); motion_scale controls parallax
+        ms = self.motion_scale
         self.poses = []
         t = np.zeros(3)
         ang = np.zeros(3)
         for k in range(self.n_img):
             c2w = np.eye(4)
-            ang = ang + np.asarray([0.002, 0.004, 0.001]) * np.sin(
+            ang = ang + ms * np.asarray([0.004, 0.008, 0.002]) * np.sin(
                 k / 7.0 + np.asarray([0, 1, 2]))
             cx_, cy_, cz_ = np.cos(ang)
             sx_, sy_, sz_ = np.sin(ang)
@@ -294,8 +296,8 @@ class Synthetic(BaseDataset):
             Ry = np.asarray([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
             Rz = np.asarray([[cz_, -sz_, 0], [sz_, cz_, 0], [0, 0, 1]])
             c2w[:3, :3] = Rz @ Ry @ Rx
-            t = t + np.asarray([0.015 * np.cos(k / 9.0),
-                                0.008 * np.sin(k / 11.0), 0.012])
+            t = t + ms * np.asarray([0.045 * np.cos(k / 9.0),
+                                     0.025 * np.sin(k / 11.0), 0.035])
             c2w[:3, 3] = t
             self.poses.append(c2w.astype(np.float64))
 

@@ -1,0 +1,618 @@
+"""Mapper: deformable 3D Gaussian Splatting over tracker keyframes.
+
+Reference: src/mapper.py:43-1116. Same control flow — proxy-depth fusion,
+covisibility keyframe window, map deformation after pose/depth updates,
+windowed optimization with densify/prune, final refinement — restructured
+so the hot loop is one jitted `map_step` (render all window cameras via a
+checkpointed scan, one backward, fused Adam updates) instead of the
+reference's per-camera rasterizer calls with host-side optimizer steps.
+
+The reference's two-process pipe handshake becomes a plain method call:
+the SLAM orchestrator calls `process_keyframe` after each tracker
+keyframe (tracker.py:82-84 ↔ mapper.py:880-1116 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie, rasterizer as rz
+from ..ops.ba import align_scale_and_shift
+from . import gaussians as G
+from .camera import Camera, make_camera
+from .losses import mapping_loss, get_median_depth
+
+
+def _round_up(x, m):
+    return max(((x + m - 1) // m) * m, m)
+
+
+# ---------------------------------------------------------------------------
+# jitted optimization step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "opt_poses"))
+def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
+             exposure, use_exposure, cam_valid, intrinsics, lrs, step,
+             *, H: int, W: int, K: int, use_ssim: bool, alpha: float,
+             opt_poses: bool = False):
+    """One mapping iteration over a stacked camera batch.
+
+    st: Gaussian state; exp_state: (m, v) adam moments for exposure (B,2);
+    w2cs (B,4,4); images (B,H,W,3); depths (B,H,W); exposure (B,2);
+    use_exposure (B,) bool (first mapped kf is the exposure reference);
+    lrs: dict of per-group learning rates (xyz already scheduled);
+    step: global iteration count (adam bias correction).
+
+    Returns (st', exp_state', exposure', radii (B,C), n_touched (B,C),
+             loss).
+    """
+    Bc = w2cs.shape[0]
+    C = st.xyz.shape[0]
+    bg = jnp.zeros(3)
+
+    params = dict(xyz=st.xyz, f_dc=st.f_dc, f_rest=st.f_rest,
+                  opacity=st.opacity, scaling=st.scaling,
+                  rotation=st.rotation)
+
+    def loss_fn(params, exposure, dummy):
+        opac = jax.nn.sigmoid(params["opacity"])[:, 0]
+        scal = jnp.exp(params["scaling"])
+        cols = jnp.clip(G.sh_to_rgb(params["f_dc"]), 0.0, None)
+
+        def per_cam(carry, args):
+            total = carry
+            w2c, img, dep, expo, use_exp, cv, dmy = args
+            out = rz.rasterize(
+                params["xyz"], scal, params["rotation"], opac, cols,
+                st.alive, w2c, jnp.zeros(6), intrinsics, bg,
+                means2d_dummy=dmy, H=H, W=W, K=K)
+            image_ab = jnp.where(
+                use_exp, jnp.exp(expo[0]) * out.color + expo[1], out.color)
+            loss = mapping_loss(image_ab, out.depth, img, dep,
+                                alpha=alpha, use_ssim=use_ssim)
+            loss = jnp.where(cv, loss, 0.0)
+            return total + loss, (out.radii * cv, out.n_touched * cv)
+
+        total, (radii, n_touched) = jax.lax.scan(
+            jax.checkpoint(per_cam), 0.0,
+            (w2cs, images, depths, exposure, use_exposure, cam_valid,
+             dummy))
+
+        # isotropic scale regularizer (mapper.py:487-489)
+        iso = jnp.abs(scal - scal.mean(-1, keepdims=True))
+        iso = jnp.where(st.alive[:, None], iso, 0.0)
+        total = total + 10.0 * iso.sum() / jnp.clip(
+            3 * st.alive.sum(), 1)
+        return total, (radii, n_touched)
+
+    dummy = jnp.zeros((Bc, C, 2))
+    (loss, (radii, n_touched)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, exposure, dummy)
+    g_params, g_expo, g_dummy = grads
+
+    # densification statistics: per-camera screen-space gradient norms
+    # accumulated over visible gaussians (mapper.py:522-529)
+    vis_any = (radii > 0)
+    gnorm = jnp.linalg.norm(g_dummy, axis=-1)          # (B,C)
+    st = dataclasses.replace(
+        st,
+        grad_accum=st.grad_accum + (gnorm * vis_any).sum(0),
+        denom=st.denom + vis_any.sum(0).astype(jnp.float32),
+        max_radii2D=jnp.maximum(st.max_radii2D,
+                                (radii * vis_any).max(0)))
+
+    st = G.adam_step(st, g_params, lrs, step)
+
+    # exposure Adam (lr 0.01, torch defaults — mapper.py:1097-1110)
+    m, v = exp_state
+    ge = g_expo * (use_exposure & cam_valid)[:, None]
+    m = 0.9 * m + 0.1 * ge
+    v = 0.999 * v + 0.001 * ge * ge
+    t = step.astype(jnp.float32)
+    upd = 0.01 * (m / (1 - 0.9 ** t)) / (jnp.sqrt(v / (1 - 0.999 ** t)) + 1e-8)
+    exposure = exposure - upd
+    return st, (m, v), exposure, radii, n_touched, loss
+
+
+@jax.jit
+def deform_points(st: G.GaussianState, frame_id, w2c_new, w2c_old,
+                  depth_new, depth_old, intrinsics, rigid: jnp.ndarray):
+    """Deform the Gaussians anchored to `frame_id` (mapper.py:154-255).
+
+    Non-rigid mode: reproject means into the old camera, rescale depth by
+    the per-pixel change, then apply the relative rigid transform. When
+    `rigid` is True (invalid new depth), only the rigid move is applied.
+    """
+    mask = st.alive & (st.kf_id == frame_id)
+    fx, fy, cx, cy = intrinsics
+    Hd, Wd = depth_new.shape
+
+    means = st.xyz
+    ones = jnp.ones_like(means[:, :1])
+    cam_old = means @ w2c_old[:3, :3].T + w2c_old[:3, 3]
+
+    u = fx * cam_old[:, 0] / jnp.clip(cam_old[:, 2], 1e-6) + cx
+    v = fy * cam_old[:, 1] / jnp.clip(cam_old[:, 2], 1e-6) + cy
+    ui = jnp.clip(u.astype(jnp.int32), 0, Wd - 1)
+    vi = jnp.clip(v.astype(jnp.int32), 0, Hd - 1)
+    d_new = depth_new[vi, ui]
+    d_old = depth_old[vi, ui]
+
+    rescale = 1.0 + (d_new - d_old) / jnp.clip(cam_old[:, 2], 1e-6)
+    bad = (d_new == 0) | (d_old == 0) | (rescale <= 0.0) | rigid
+    rescale = jnp.where(bad, 1.0, rescale)
+
+    cam_scaled = cam_old * rescale[:, None]
+    c2w_old = jnp.linalg.inv(w2c_old)
+    world_scaled = cam_scaled @ c2w_old[:3, :3].T + c2w_old[:3, 3]
+
+    Trel = jnp.linalg.inv(jnp.linalg.inv(w2c_old) @ w2c_new)
+    moved = world_scaled @ Trel[:3, :3].T + Trel[:3, 3]
+
+    new_xyz = jnp.where(mask[:, None], moved, st.xyz)
+
+    # rotate quaternions by the relative transform (wxyz storage)
+    q_rel_xyzw = lie.matrix_to_quat(Trel[:3, :3])
+    q_rel = jnp.concatenate([q_rel_xyzw[3:4], q_rel_xyzw[:3]])
+    w1, x1, y1, z1 = q_rel
+    q = st.rotation
+    w2, x2, y2, z2 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    q_new = jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], -1)
+    new_rot = jnp.where(mask[:, None], q_new, st.rotation)
+    new_scaling = jnp.where(mask[:, None],
+                            st.scaling + jnp.log(rescale)[:, None],
+                            st.scaling)
+
+    st = dataclasses.replace(st, xyz=new_xyz, rotation=new_rot,
+                             scaling=new_scaling)
+    # the reference zeroes the Adam moments of every replaced tensor
+    # (replace_tensor_to_optimizer, mapper.py:172-255)
+    return G._zero_moments(st, mask)
+
+
+# ---------------------------------------------------------------------------
+# the mapper
+# ---------------------------------------------------------------------------
+
+class Mapper:
+    def __init__(self, cfg, video, dataset, mono_loader=None, printer=None):
+        self.cfg = cfg
+        self.video = video
+        self.dataset = dataset
+        self.mono_loader = mono_loader or (lambda idx: None)
+        self.printer = printer
+
+        m = cfg["mapping"]
+        tr = m["Training"]
+        self.alpha = tr["alpha"]
+        self.use_ssim = tr["ssim_loss"]
+        self.init_itr_num = tr["init_itr_num"]
+        self.init_gaussian_update = tr["init_gaussian_update"]
+        self.init_gaussian_reset = tr["init_gaussian_reset"]
+        self.init_gaussian_th = tr["init_gaussian_th"]
+        self.cameras_extent = 6.0
+        self.init_gaussian_extent = self.cameras_extent * tr["init_gaussian_extent"]
+        self.mapping_itr_num = tr["mapping_itr_num"]
+        self.gaussian_update_every = tr["gaussian_update_every"]
+        self.gaussian_update_offset = tr["gaussian_update_offset"]
+        self.gaussian_th = tr["gaussian_th"]
+        self.gaussian_extent = self.cameras_extent * tr["gaussian_extent"]
+        self.gaussian_reset = tr["gaussian_reset"]
+        self.size_threshold = tr["size_threshold"]
+        self.window_size = tr["window_size"]
+        self.pose_window = tr["pose_window"]
+        self.edge_threshold = tr["edge_threshold"]
+        self.kf_translation = tr["kf_translation"]
+        self.kf_min_translation = tr["kf_min_translation"]
+        self.kf_overlap = tr["kf_overlap"]
+        self.kf_cutoff = tr.get("kf_cutoff", 0.4)
+        self.prune_mode = tr["prune_mode"]
+        self.move_points = m["move_points"]
+        self.pcd_downsample = m["pcd_downsample"]
+        self.pcd_downsample_init = m["pcd_downsample_init"]
+        self.adaptive_pointsize = m["adaptive_pointsize"]
+        self.point_size = m["point_size"]
+
+        op = m["opt_params"]
+        self.opt = op
+        self.spatial_lr_scale = 6.0
+        self.percent_dense = op["percent_dense"]
+
+        self.H = cfg["cam"]["H_out"]
+        self.W = cfg["cam"]["W_out"]
+        self.K = m.get("raster_K", 256)
+        cap = m.get("capacity", 1 << 17)
+        self.st = G.make_state(cap, sh_degree=m["model_params"]["sh_degree"])
+
+        self.iteration_count = 0
+        self.cameras: dict[int, Camera] = {}
+        self.viewpoints: dict[int, Camera] = {}
+        self.current_window: list[int] = []
+        self.occ_aware_visibility: dict[int, np.ndarray] = {}
+        self.depth_dict: dict[int, np.ndarray] = {}
+        self.is_kf: dict[int, bool] = {}
+        self.keyframe_idxs: list[int] = []
+        self.video_idxs: list[int] = []
+        self.exp_ab: dict[int, np.ndarray] = {}
+        self.rng = jax.random.PRNGKey(cfg.get("setup_seed", 43))
+        self.initialized = False
+        self.first_mapped_uid = None
+
+        self.intrinsics = jnp.asarray(dataset.get_intrinsic())
+
+    # -- proxy depth fusion (mapper.py:258-301) -----------------------------
+
+    def get_w2c_and_depth(self, video_idx, frame_idx, mono_depth):
+        est_depth, valid_mask, c2w = self.video.get_depth_and_pose(video_idx)
+        w2c = np.linalg.inv(c2w)
+        invalid = valid_mask.sum() < 100
+        est_depth = est_depth.copy()
+        est_depth[~valid_mask] = 0
+        if invalid or mono_depth is None:
+            return est_depth, w2c, invalid or mono_depth is None
+
+        mono = np.asarray(mono_depth, np.float32).copy()
+        mono[mono > 4 * mono.mean()] = 0
+        from scipy.ndimage import binary_erosion
+        binary = (mono > 0).astype(int)
+        it = 5
+        padded = np.pad(binary, it, mode="constant", constant_values=1)
+        eroded = binary_erosion(padded, np.ones((3, 3), int), iterations=it)
+        eroded = eroded[it:-it, it:-it]
+        mono[eroded == 0] = 0
+        if (mono == 0).sum() > 0:
+            import cv2
+            mono = cv2.inpaint(mono, (mono == 0).astype(np.uint8),
+                               inpaintRadius=3, flags=cv2.INPAINT_NS)
+        valid = eroded.astype(bool) & valid_mask
+        sc, sh, _ = align_scale_and_shift(
+            jnp.asarray(mono)[None], jnp.asarray(est_depth)[None],
+            jnp.asarray(valid.astype(np.float32))[None])
+        self.video.state.depth_scale = self.video.state.depth_scale.at[
+            video_idx].set(sc[0])
+        self.video.state.depth_shift = self.video.state.depth_shift.at[
+            video_idx].set(sh[0])
+        mono_wq = mono * float(sc[0]) + float(sh[0])
+        est_depth[~valid_mask] = mono_wq[~valid_mask]
+        return est_depth, w2c, False
+
+    # -- anchoring ----------------------------------------------------------
+
+    def add_next_kf(self, video_idx, cam: Camera, depth_map, init=False):
+        down = self.pcd_downsample_init if init else self.pcd_downsample
+        point_size = self.point_size
+        if self.adaptive_pointsize:
+            point_size = min(0.05, point_size * float(np.median(depth_map)))
+        self.rng, sub = jax.random.split(self.rng)
+        max_new = _round_up(int(2.0 * self.H * self.W / down), 1024)
+        new = G.anchor_points(sub, jnp.asarray(cam.image),
+                              jnp.asarray(depth_map), cam.w2c,
+                              self.intrinsics, down, point_size, max_new)
+        need = G.num_alive(self.st) + int(new["count"])
+        while need > 0.9 * self.st.xyz.shape[0]:
+            self.st = G.grow_capacity(self.st)
+        self.st = G.insert_points(self.st, new, video_idx)
+
+    # -- rendering ----------------------------------------------------------
+
+    def render(self, cam: Camera):
+        return rz.rasterize(
+            self.st.xyz, G.get_scaling(self.st), self.st.rotation,
+            G.get_opacity(self.st)[:, 0], G.get_colors_dc(self.st),
+            self.st.alive, cam.w2c, jnp.zeros(6), self.intrinsics,
+            jnp.zeros(3), H=self.H, W=self.W, K=self.K)
+
+    # -- optimization loops --------------------------------------------------
+
+    def _lrs(self):
+        it = self.iteration_count
+        lr_init = self.opt["position_lr_init"] * self.spatial_lr_scale
+        lr_final = self.opt["position_lr_final"] * self.spatial_lr_scale
+        xyz = float(G.xyz_lr(jnp.asarray(float(it)), lr_init, lr_final,
+                             self.opt["position_lr_delay_mult"],
+                             self.opt["position_lr_max_steps"]))
+        return dict(xyz=xyz,
+                    f_dc=self.opt["feature_lr"],
+                    f_rest=self.opt["feature_lr"] / 20.0,
+                    opacity=self.opt["opacity_lr"],
+                    scaling=self.opt["scaling_lr"] * self.spatial_lr_scale,
+                    rotation=self.opt["rotation_lr"])
+
+    def _stack_cams(self, cams):
+        n = len(cams)
+        B = _round_up(n, 4)  # fixed batch buckets → one compile per bucket
+        pad = B - n
+        w2cs = jnp.stack([c.w2c for c in cams] + [jnp.eye(4)] * pad)
+        imgs = jnp.stack([c.image for c in cams]
+                         + [jnp.zeros((self.H, self.W, 3))] * pad)
+        deps = jnp.stack([jnp.asarray(c.depth, jnp.float32)
+                          if c.depth is not None
+                          else jnp.zeros((self.H, self.W)) for c in cams]
+                         + [jnp.zeros((self.H, self.W))] * pad)
+        expo = jnp.asarray([self.exp_ab.get(c.uid, np.zeros(2))
+                            for c in cams]
+                           + [np.zeros(2)] * pad, jnp.float32)
+        use_exp = jnp.asarray(
+            [c.uid != self.first_mapped_uid for c in cams]
+            + [False] * pad)
+        valid = jnp.asarray([True] * n + [False] * pad)
+        return w2cs, imgs, deps, expo, use_exp, valid
+
+    def _run_iters(self, cams, iters, densify_cfg=None, store_expo=True):
+        """Shared optimization loop: map/initialize_map/final_refine core."""
+        if not cams:
+            return None
+        w2cs, imgs, deps, expo, use_exp, valid = self._stack_cams(cams)
+        exp_m = jnp.zeros_like(expo)
+        exp_v = jnp.zeros_like(expo)
+        last = None
+        for _ in range(iters):
+            self.iteration_count += 1
+            lrs = self._lrs()
+            self.st, (exp_m, exp_v), expo, radii, n_touched, loss = map_step(
+                self.st, (exp_m, exp_v), w2cs, imgs, deps, expo, use_exp,
+                valid, self.intrinsics, lrs,
+                jnp.asarray(self.iteration_count),
+                H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
+                alpha=self.alpha)
+            last = (radii, n_touched, loss)
+            if densify_cfg is not None:
+                self._maybe_densify(**densify_cfg)
+        if store_expo:
+            expo_np = np.asarray(expo)
+            for i, c in enumerate(cams):
+                self.exp_ab[c.uid] = expo_np[i]
+        return last
+
+    def _maybe_densify(self, update_every, update_offset, th, extent,
+                       size_threshold, reset_at=()):
+        it = self.iteration_count
+        if it % update_every == update_offset:
+            self.rng, sub = jax.random.split(self.rng)
+            self.st = G.densify_and_prune(
+                self.st, sub, self.opt["densify_grad_threshold"], th,
+                extent, size_threshold, self.percent_dense)
+        if it in reset_at:
+            self.st = G.reset_opacity(self.st)
+
+    def initialize_map(self, video_idx, cam: Camera):
+        """First-keyframe optimization (mapper.py:303-398)."""
+        out = self._run_iters(
+            [cam], self.init_itr_num,
+            densify_cfg=dict(update_every=self.init_gaussian_update,
+                             update_offset=0, th=self.init_gaussian_th,
+                             extent=self.init_gaussian_extent,
+                             size_threshold=None,
+                             reset_at=(self.init_gaussian_reset,
+                                       self.opt["densify_from_iter"])),
+            store_expo=False)
+        _, n_touched, _ = out
+        self.occ_aware_visibility[video_idx] = np.asarray(n_touched[0] > 0)
+        return out
+
+    def map(self, window, prune=False, iters=1):
+        """Window optimization (mapper.py:400-614)."""
+        if len(window) == 0:
+            return
+        cams = [self.viewpoints[k] for k in window]
+        others = [v for k, v in self.viewpoints.items() if k not in window]
+        self.rng, sub = jax.random.split(self.rng)
+        if others:
+            pick = np.asarray(
+                jax.random.permutation(sub, len(others)))[:2]
+            cams = cams + [others[int(i)] for i in pick]
+
+        for _ in range(iters):
+            out = self._run_iters(cams, 1)
+            radii, n_touched, _ = out
+            self.occ_aware_visibility = {}
+            for i, k in enumerate(window):
+                self.occ_aware_visibility[k] = np.asarray(n_touched[i] > 0)
+
+            if prune:
+                if len(window) == self.window_size:
+                    n_obs = jnp.zeros(self.st.xyz.shape[0], jnp.int32)
+                    for k, vis in self.occ_aware_visibility.items():
+                        n_obs = n_obs + jnp.asarray(vis, jnp.int32)
+                    if self.prune_mode == "slam":
+                        sorted_w = sorted(window, reverse=True)
+                        mask = self.st.kf_id >= sorted_w[2]
+                        to_prune = (n_obs <= 3) & mask & self.st.alive
+                        self.st = G.prune_by_mask(self.st, to_prune)
+                return False
+
+            update = (self.iteration_count % self.gaussian_update_every
+                      == self.gaussian_update_offset)
+            if update:
+                self.rng, sub = jax.random.split(self.rng)
+                self.st = G.densify_and_prune(
+                    self.st, sub, self.opt["densify_grad_threshold"],
+                    self.gaussian_th, self.gaussian_extent,
+                    self.size_threshold, self.percent_dense)
+            elif self.iteration_count % self.gaussian_reset == 0:
+                vis_any = jnp.zeros(self.st.xyz.shape[0], bool)
+                for k in window:
+                    vis_any = vis_any | jnp.asarray(
+                        self.occ_aware_visibility[k])
+                self.st = G.reset_opacity_nonvisible(self.st, vis_any)
+        return True
+
+    def final_refine(self, iters=26000):
+        """Color-only global refinement (mapper.py:617-710): re-fuse
+        depth/poses, deform once more, then optimize on random frames."""
+        for video_idx, frame_idx in zip(self.video_idxs, self.keyframe_idxs):
+            mono = self.mono_loader(frame_idx)
+            depth, w2c, invalid = self.get_w2c_and_depth(
+                video_idx, frame_idx, mono)
+            cam = self.cameras[video_idx]
+            w2c_old = np.asarray(cam.w2c)
+            cam.w2c = jnp.asarray(w2c)
+            cam.depth = depth
+            if video_idx in self.viewpoints:
+                self.viewpoints[video_idx].w2c = jnp.asarray(w2c)
+                self.viewpoints[video_idx].depth = depth
+            if self.move_points and self.is_kf.get(video_idx, False):
+                old_d = self.depth_dict.get(video_idx, depth)
+                self.st = deform_points(
+                    self.st, video_idx, jnp.asarray(w2c),
+                    jnp.asarray(w2c_old), jnp.asarray(depth),
+                    jnp.asarray(old_d), self.intrinsics,
+                    jnp.asarray(invalid))
+                self.depth_dict[video_idx] = depth
+
+        vps = list(self.viewpoints.values())
+        rng = np.random.RandomState(0)
+        # batch random single-frame iterations (mapper.py:656-708) in small
+        # groups so the jitted step shape stays fixed
+        B = min(4, len(vps))
+        for _ in range(max(iters // max(B, 1), 1)):
+            pick = rng.randint(0, len(vps), size=B)
+            self._run_iters([vps[i] for i in pick], 1)
+
+    # -- keyframe management (mapper.py:744-831) -----------------------------
+
+    def is_keyframe(self, cur_idx, last_idx, cur_vis, occ_vis, median_depth):
+        curr = self.cameras[cur_idx]
+        last = self.cameras[last_idx]
+        dist = float(jnp.linalg.norm(
+            (curr.w2c @ jnp.linalg.inv(last.w2c))[:3, 3]))
+        dist_check = dist > self.kf_translation * median_depth
+        dist_check2 = dist > self.kf_min_translation * median_depth
+        union = np.logical_or(cur_vis, occ_vis[last_idx]).sum()
+        inter = np.logical_and(cur_vis, occ_vis[last_idx]).sum()
+        ratio = inter / max(union, 1)
+        return (ratio < self.kf_overlap and dist_check2) or dist_check
+
+    def add_to_window(self, cur_idx, cur_vis, occ_vis, window):
+        N_dont_touch = 2
+        window = [cur_idx] + window
+        curr = self.cameras[cur_idx]
+        to_remove = []
+        removed = None
+        for i in range(N_dont_touch, len(window)):
+            k = window[i]
+            inter = np.logical_and(cur_vis, occ_vis[k]).sum()
+            denom = max(min(cur_vis.sum(), occ_vis[k].sum()), 1)
+            if inter / denom <= self.kf_cutoff:
+                to_remove.append(k)
+        if to_remove:
+            window.remove(to_remove[-1])
+            removed = to_remove[-1]
+        if len(window) > self.window_size:
+            inv_dist = []
+            kf0_wc = np.linalg.inv(np.asarray(curr.w2c))
+            for i in range(N_dont_touch, len(window)):
+                ki = self.cameras[window[i]]
+                ki_cw = np.asarray(ki.w2c)
+                dists = []
+                for j in range(N_dont_touch, len(window)):
+                    if i == j:
+                        continue
+                    kj_wc = np.linalg.inv(np.asarray(
+                        self.cameras[window[j]].w2c))
+                    dists.append(1.0 / (np.linalg.norm(
+                        (ki_cw @ kj_wc)[:3, 3]) + 1e-6))
+                k = np.sqrt(np.linalg.norm((ki_cw @ kf0_wc)[:3, 3]))
+                inv_dist.append(k * sum(dists))
+            idx = int(np.argmax(inv_dist))
+            removed = window[N_dont_touch + idx]
+            window.remove(removed)
+        return window, removed
+
+    # -- main entry (mapper.py:834-1116) -------------------------------------
+
+    def process_keyframe(self, frame_idx, video_idx):
+        """Handle one tracker keyframe; returns True if it was mapped."""
+        _, color, _, _ = self.dataset[frame_idx]
+        mono = self.mono_loader(frame_idx)
+        self.keyframe_idxs.append(frame_idx)
+        self.video_idxs.append(video_idx)
+
+        depth, w2c, invalid = self.get_w2c_and_depth(video_idx, frame_idx,
+                                                     mono)
+        cam = make_camera(video_idx, color, depth, w2c, self.edge_threshold)
+        self.cameras[video_idx] = cam
+        if invalid:
+            self.is_kf[video_idx] = False
+            return False
+
+        if not self.initialized:
+            self.initialized = True
+            self.first_mapped_uid = video_idx
+            self.current_window = [video_idx]
+            self.depth_dict[video_idx] = depth
+            self.is_kf[video_idx] = True
+            self.viewpoints[video_idx] = cam
+            self.add_next_kf(video_idx, cam, depth, init=True)
+            self.initialize_map(video_idx, cam)
+            return True
+
+        out = self.render(cam)
+        median_depth = float(get_median_depth(out.depth, out.alpha))
+        if not np.isfinite(median_depth):
+            median_depth = float(np.median(depth[depth > 0])) \
+                if (depth > 0).any() else 1.0
+        cur_vis = np.asarray(out.n_touched > 0)
+        last_idx = self.current_window[0]
+
+        create_kf = self.is_keyframe(video_idx, last_idx, cur_vis,
+                                     self.occ_aware_visibility, median_depth)
+        if len(self.current_window) < self.window_size:
+            union = np.logical_or(
+                cur_vis, self.occ_aware_visibility[last_idx]).sum()
+            inter = np.logical_and(
+                cur_vis, self.occ_aware_visibility[last_idx]).sum()
+            create_kf = inter / max(union, 1) < self.kf_overlap
+        if not create_kf:
+            self.is_kf[video_idx] = False
+            return False
+
+        self.current_window, _ = self.add_to_window(
+            video_idx, cur_vis, self.occ_aware_visibility,
+            self.current_window)
+        self.is_kf[video_idx] = True
+
+        # refresh every mapped keyframe's pose/depth and deform the map
+        # (mapper.py:1021-1055)
+        last_frame_idx = self.keyframe_idxs[-1]
+        for v_idx, f_idx in zip(self.video_idxs, self.keyframe_idxs):
+            mono_k = self.mono_loader(f_idx)
+            depth_t, w2c_t, invalid_t = self.get_w2c_and_depth(
+                v_idx, f_idx, mono_k)
+            if v_idx not in self.depth_dict and self.is_kf.get(v_idx, False):
+                self.depth_dict[v_idx] = depth_t
+            if f_idx == last_frame_idx:
+                continue
+            camk = self.cameras[v_idx]
+            w2c_old = np.asarray(camk.w2c)
+            camk.w2c = jnp.asarray(w2c_t)
+            camk.depth = depth_t
+            if v_idx in self.viewpoints:
+                self.viewpoints[v_idx].w2c = jnp.asarray(w2c_t)
+                self.viewpoints[v_idx].depth = depth_t
+            if self.move_points and self.is_kf.get(v_idx, False):
+                old_d = self.depth_dict.get(v_idx, depth_t)
+                self.st = deform_points(
+                    self.st, v_idx, jnp.asarray(w2c_t),
+                    jnp.asarray(w2c_old), jnp.asarray(depth_t),
+                    jnp.asarray(old_d), self.intrinsics,
+                    jnp.asarray(invalid_t))
+                self.depth_dict[v_idx] = depth_t
+
+        self.viewpoints[video_idx] = cam
+        self.add_next_kf(video_idx, cam, depth, init=False)
+
+        self.map(self.current_window, iters=self.mapping_itr_num)
+        self.map(self.current_window, prune=True)
+        return True

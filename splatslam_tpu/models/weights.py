@@ -102,10 +102,22 @@ def torch_state_to_params(state_dict) -> Dict[str, Any]:
 
 
 def load_droid_params(path: str):
-    """Load droid.pth if present; otherwise return random init (gated —
-    no pretrained assets ship in this environment)."""
+    """Load tracker weights: torch droid.pth, a self-trained flax
+    .msgpack (train_droid.py), or random init when neither exists."""
     if path and os.path.exists(path):
+        if path.endswith(".msgpack"):
+            from flax import serialization
+            template = init_params()
+            with open(path, "rb") as f:
+                return serialization.from_bytes(template, f.read())
         import torch
         sd = torch.load(path, map_location="cpu")
         return torch_state_to_params(sd)
+    # fall back to a self-trained checkpoint if one exists
+    alt = "pretrained/droid_selftrained.msgpack"
+    if os.path.exists(alt):
+        from flax import serialization
+        template = init_params()
+        with open(alt, "rb") as f:
+            return serialization.from_bytes(template, f.read())
     return init_params()

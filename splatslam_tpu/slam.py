@@ -1,0 +1,168 @@
+"""SLAM orchestrator: single host loop driving tracker + mapper.
+
+Reference: src/slam.py:34-261 + src/tracker.py:23-92 run tracking and
+mapping as two OS processes with a blocking pipe at keyframe granularity;
+since the handshake already serializes them (tracker blocks until the
+mapper finishes each keyframe, tracker.py:84), the semantics are exactly a
+sequential loop — which is what this is, with the IPC deleted.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import update_cam
+from .datasets import get_dataset
+from .models import load_droid_params
+from .mono_prior import MonoDepthProvider
+from .tracking import (DepthVideo, MotionFilter, Frontend, Backend,
+                       PoseTrajectoryFiller)
+from .mapping import Mapper
+from .utils.printer import Printer, FontColor
+from .utils.eval_traj import kf_traj_eval, full_traj_eval
+from .utils.eval_render import eval_rendering
+
+
+class SLAM:
+    def __init__(self, cfg, stream=None):
+        self.cfg = cfg
+        self.verbose = cfg.get("verbose", True)
+        self.only_tracking = cfg.get("only_tracking", False)
+        self.save_dir = os.path.join(cfg["data"]["output"],
+                                     str(cfg.get("scene", "scene")))
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self.stream = stream if stream is not None else get_dataset(cfg)
+        self.printer = Printer(len(self.stream), self.verbose)
+
+        self.params = load_droid_params(
+            cfg["tracking"].get("pretrained", ""))
+
+        self.video = DepthVideo(cfg)
+        self.mono = MonoDepthProvider(cfg, self.stream, self.save_dir)
+
+        def mono_fn(tstamp, image):
+            return self.mono(int(tstamp))
+
+        self.motion_filter = MotionFilter(
+            self.params, self.video, cfg, mono_fn=mono_fn)
+        self.frontend = Frontend(self.params, self.video, cfg)
+        self.online_ba = Backend(self.params, self.video, cfg)
+        self.traj_filler = PoseTrajectoryFiller(self.params, self.video)
+        self.mapper = None
+        if not self.only_tracking:
+            self.mapper = Mapper(cfg, self.video, self.stream,
+                                 mono_loader=self.mono,
+                                 printer=self.printer)
+
+        self.ba_freq = cfg["tracking"]["backend"]["ba_freq"]
+        self.enable_online_ba = cfg["tracking"]["frontend"][
+            "enable_online_ba"]
+        self.every_kf = cfg["mapping"]["every_keyframe"]
+        self.global_scale = 1.0
+
+    # -- main loop (tracker.py:47-92 + mapper pipe protocol) ----------------
+
+    def run(self):
+        intrinsic = jnp.asarray(self.stream.get_intrinsic())
+        oracle = self.cfg["tracking"].get("oracle", False)
+        prev_kf_idx = 0
+        prev_ba_idx = 0
+        number_of_kf = 0
+        for i in range(len(self.stream)):
+            timestamp, image, gt_depth, gt_c2w = self.stream[i]
+            gt_pose = None
+            if oracle and gt_c2w is not None:
+                from .ops import lie
+                gt_pose = lie.from_matrix(
+                    jnp.linalg.inv(jnp.asarray(gt_c2w)))
+            self.motion_filter.track(
+                timestamp, jnp.asarray(image), intrinsic,
+                gt_pose=gt_pose,
+                gt_depth=gt_depth if oracle else None)
+            self.frontend()
+            curr_kf_idx = self.video.counter - 1
+
+            if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
+                number_of_kf += 1
+                if (self.enable_online_ba
+                        and curr_kf_idx >= prev_ba_idx + self.ba_freq):
+                    self.printer.print(
+                        f"Online BA at {curr_kf_idx}th keyframe, frame "
+                        f"{timestamp}", FontColor.TRACKER)
+                    self.online_ba.dense_ba(2)
+                    prev_ba_idx = curr_kf_idx
+                if self.mapper is not None and \
+                        number_of_kf % self.every_kf == 0:
+                    self.mapper.process_keyframe(int(timestamp), curr_kf_idx)
+            prev_kf_idx = curr_kf_idx
+            self.printer.update_pbar()
+
+        self.terminate()
+
+    def backend(self):
+        self.printer.print("Final Global BA Triggered!", FontColor.TRACKER)
+        ba = Backend(self.params, self.video, self.cfg)
+        ba.dense_ba(7)
+        ba.dense_ba(12)
+        self.printer.print("Final Global BA Done!", FontColor.TRACKER)
+
+    def terminate(self):
+        """Final BA → save → trajectory eval → refine → render eval
+        (slam.py:130-244)."""
+        cfg = self.cfg
+        if cfg["tracking"]["backend"]["final_ba"]:
+            self.backend()
+
+        npz = os.path.join(self.save_dir, "video.npz")
+        self.video.save_video(npz)
+        ate_stats, self.global_scale, r_a, t_a = None, 1.0, None, None
+        try:
+            ate_stats, self.global_scale, r_a, t_a = kf_traj_eval(
+                npz, os.path.join(self.save_dir, "traj"), "kf_traj",
+                self.stream, self.printer)
+        except Exception as e:  # graceful like slam.py:175-176
+            self.printer.print(str(e), FontColor.ERROR)
+
+        if self.mapper is not None:
+            if cfg["tracking"]["backend"]["final_ba"]:
+                self.mapper.final_refine(
+                    iters=cfg["mapping"]["final_refine_iters"])
+            eval_rendering(self.mapper, self.save_dir, self.stream,
+                           global_scale=self.global_scale,
+                           iteration="after_refine", printer=self.printer)
+            from .mapping.gaussians import save_ply
+            save_ply(self.mapper.st,
+                     os.path.join(self.save_dir, "gaussians.ply"))
+
+        # proxy depth eval (slam.py:206-237)
+        try:
+            d_l1, d_l1_4m, cover = self.video.eval_depth_l1(npz, self.stream)
+            with open(os.path.join(self.save_dir, "depth_stats.txt"),
+                      "w") as f:
+                f.write(f"depth_l1: {d_l1}\n")
+                f.write(f"depth_l1_mask_4m: {d_l1_4m}\n")
+                f.write(f"Average frame coverage: {cover}\n")
+                f.write(f"traj scaling: {self.global_scale}\n")
+                f.write(f"traj stats: {ate_stats}\n")
+            self.printer.print(
+                f"Depth L1: {d_l1:.4f} (4m: {d_l1_4m:.4f}, "
+                f"coverage {cover:.3f})", FontColor.EVAL)
+        except Exception as e:
+            self.printer.print(f"depth eval failed: {e}", FontColor.ERROR)
+
+        if cfg.get("eval_full_traj", True):
+            try:
+                full_traj_eval(self.traj_filler,
+                               os.path.join(self.save_dir, "traj"),
+                               "full_traj", self.stream, self.printer)
+            except Exception as e:
+                self.printer.print(f"full traj eval failed: {e}",
+                                   FontColor.ERROR)
+
+        self.printer.print("Metrics Evaluation Done!", FontColor.EVAL)
+        self.printer.terminate()
+        return ate_stats

@@ -16,6 +16,7 @@ class Backend:
     def __init__(self, params, video, cfg):
         self.params = params
         self.video = video
+        self.oracle = cfg["tracking"].get("oracle", False)
         self.beta = cfg["tracking"]["beta"]
         bk = cfg["tracking"]["backend"]
         self.backend_thresh = bk["thresh"]
@@ -53,7 +54,8 @@ class Backend:
         max_factors = ((self.backend_radius + 2) * 2) * n
         if self.backend_normalize:
             self.video.normalize()
-        graph = FactorGraph(self.video, self.params, max_factors)
+        graph = FactorGraph(self.video, self.params, max_factors,
+                            oracle=self.oracle)
         n_edges = self.ba(t_start, t_end, steps, graph, self.backend_nms,
                           self.backend_radius, self.backend_thresh,
                           max_factors, motion_only=False,
@@ -67,7 +69,8 @@ class Backend:
         """Loop closure with covisibility edges (backend.py:87-111)."""
         max_factors = 8 * self.loop_window
         t_start_loop = max(0, t_end - self.loop_window)
-        graph = FactorGraph(self.video, self.params, max_factors)
+        graph = FactorGraph(self.video, self.params, max_factors,
+                            oracle=self.oracle)
         if local_graph is not None:
             graph.ii = local_graph.ii.copy()
             graph.jj = local_graph.jj.copy()

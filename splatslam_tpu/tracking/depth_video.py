@@ -52,6 +52,8 @@ class VideoState:
     nets: jnp.ndarray           # (B, h, w, 128) f32 — GRU hidden seed
     inps: jnp.ndarray           # (B, h, w, 128) f32 — context features
     damping: jnp.ndarray        # (B, h, w) f32 — GraphAgg eta per keyframe
+    gt_poses: jnp.ndarray       # (B, 7) f32 — GT w2c (oracle/eval only)
+    gt_disps: jnp.ndarray       # (B, h, w) f32 — GT disparity (oracle only)
 
 
 def make_video_state(buffer: int, H: int, W: int, down: int = 8) -> VideoState:
@@ -72,6 +74,8 @@ def make_video_state(buffer: int, H: int, W: int, down: int = 8) -> VideoState:
         nets=jnp.zeros((buffer, h, w, 128), jnp.float32),
         inps=jnp.zeros((buffer, h, w, 128), jnp.float32),
         damping=1e-6 * jnp.ones((buffer, h, w), jnp.float32),
+        gt_poses=lie.identity((buffer,)),
+        gt_disps=jnp.ones((buffer, h, w), jnp.float32),
     )
 
 
@@ -221,16 +225,16 @@ class DepthVideo:
     # -- item access ------------------------------------------------------
 
     def append(self, timestamp, image, pose, disp, mono_depth, intrinsics,
-               fmap, net=None, inp=None):
+               fmap, net=None, inp=None, gt_pose=None, gt_depth=None):
         """Add a keyframe (depth_video.py:75-134 semantics)."""
         idx = self.counter
         self.set_item(idx, timestamp, image, pose, disp, mono_depth,
-                      intrinsics, fmap, net, inp)
+                      intrinsics, fmap, net, inp, gt_pose, gt_depth)
         self.counter = idx + 1
 
     def set_item(self, idx, timestamp, image, pose=None, disp=None,
                  mono_depth=None, intrinsics=None, fmap=None, net=None,
-                 inp=None):
+                 inp=None, gt_pose=None, gt_depth=None):
         s = self.state
         s.timestamp = s.timestamp.at[idx].set(timestamp)
         if image is not None:
@@ -257,6 +261,14 @@ class DepthVideo:
             s.nets = s.nets.at[idx].set(net)
         if inp is not None:
             s.inps = s.inps.at[idx].set(inp)
+        if gt_pose is not None:
+            s.gt_poses = s.gt_poses.at[idx].set(gt_pose)
+        if gt_depth is not None:
+            off = self.down // 2 - 1
+            gd = jnp.asarray(gt_depth)[off::self.down, off::self.down]
+            gd = gd[: s.gt_disps.shape[1], : s.gt_disps.shape[2]]
+            s.gt_disps = s.gt_disps.at[idx].set(
+                jnp.where(gd > 1e-6, 1.0 / jnp.clip(gd, 1e-6), 0.0))
         if idx >= self.counter:
             self.counter = idx + 1
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..models.droid_net import DroidNet
 from ..ops import corr as corr_ops
 from ..ops import projective as pops
+from .depth_video import reproject_kernel
 
 _NET_DTYPE = jnp.float32
 _EDGE_BUCKET = 32
@@ -105,11 +106,17 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
 class FactorGraph:
     """Mirrors the reference FactorGraph API on top of the fused kernel."""
 
-    def __init__(self, video, params, max_factors=-1, upsample=True):
+    def __init__(self, video, params, max_factors=-1, upsample=True,
+                 oracle=False):
         self.video = video
         self.params = params
         self.max_factors = max_factors
         self.upsample_flag = upsample
+        # oracle mode: flow targets come from GT geometry instead of the
+        # learned update operator — used when no pretrained droid.pth is
+        # available (none ships in this environment) to exercise and
+        # benchmark the full BA/fusion/mapping stack end-to-end.
+        self.oracle = oracle
 
         self.h = video.H // video.down
         self.w = video.W // video.down
@@ -210,7 +217,7 @@ class FactorGraph:
         for name in ("timestamp", "images", "poses", "disps", "disps_up",
                      "intrinsics", "mono_disps", "depth_scale", "depth_shift",
                      "valid_depth_mask", "valid_depth_mask_small", "fmaps",
-                     "nets", "inps", "damping"):
+                     "nets", "inps", "damping", "gt_poses", "gt_disps"):
             setattr(s, name, getattr(s, name)[src])
         self.damping_maps = self.damping_maps[src]
         d = self.video.dirty
@@ -253,6 +260,9 @@ class FactorGraph:
                EP=1e-7, motion_only=False, opt_type="pose_depth"):
         if self.ii.shape[0] == 0:
             return
+        if self.oracle:
+            return self._update_oracle(t0, t1, itrs, use_inactive, EP,
+                                       motion_only, opt_type)
         ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
         n = self.ii.shape[0]
         Np = len(ii_p)
@@ -301,6 +311,40 @@ class FactorGraph:
 
         if self.upsample_flag:
             self.video.upsample(uniq, upmask[:len(uniq)])
+        self.age += 1
+
+    def _update_oracle(self, t0, t1, itrs, use_inactive, EP, motion_only,
+                       opt_type):
+        """GT-flow update: targets from ground-truth geometry, unit
+        weights. Same BA dispatch as the learned path."""
+        s = self.video.state
+        coords_gt, valid_gt = reproject_kernel(
+            s.gt_poses, s.gt_disps, s.intrinsics[0],
+            jnp.asarray(self.ii, jnp.int32), jnp.asarray(self.jj, jnp.int32))
+        self.target = coords_gt
+        self.weight = jnp.broadcast_to(valid_gt, coords_gt.shape)
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if use_inactive:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            ii = np.concatenate([self.ii_inac[m], self.ii])
+            jj = np.concatenate([self.jj_inac[m], self.jj])
+            sel = jnp.asarray(np.where(m)[0])
+            target = jnp.concatenate([self.target_inac[sel], self.target], 0)
+            weight = jnp.concatenate([self.weight_inac[sel], self.weight], 0)
+        else:
+            ii, jj = self.ii, self.jj
+            target, weight = self.target, self.weight
+        uniq_all = np.unique(ii)
+        damping = jnp.full((len(uniq_all), self.h, self.w), 1e-4)
+        self.video.ba(target, weight, damping, ii, jj, t0, t1,
+                      iters=itrs, lm=1e-4, ep=0.1, motion_only=motion_only,
+                      opt_type=opt_type)
+        if self.upsample_flag:
+            uniq = np.unique(self.ii)
+            zero_mask = jnp.zeros((len(uniq), self.h, self.w, 576))
+            self.video.upsample(uniq, zero_mask)
         self.age += 1
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,

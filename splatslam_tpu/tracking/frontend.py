@@ -36,9 +36,11 @@ class Frontend:
         self.frontend_max_factors = fe["max_factors"]
         self.enable_loop = fe["enable_loop"]
 
+        self.oracle = tr.get("oracle", False)
         self.loop_closing = Backend(params, video, cfg)
         self.graph = FactorGraph(video, params,
-                                 max_factors=self.frontend_max_factors)
+                                 max_factors=self.frontend_max_factors,
+                                 oracle=self.oracle)
         self.last_loop_t = -1
 
     def __update(self):

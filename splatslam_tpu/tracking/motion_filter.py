@@ -57,14 +57,33 @@ class MotionFilter:
         self.params = params
         self.video = video
         self.thresh = cfg["tracking"]["motion_filter"]["thresh"]
+        self.oracle = cfg["tracking"].get("oracle", False)
         self.mono_fn = mono_fn      # (tstamp, image) -> full-res depth or None
         self.count = 0
         self.fmap = None
         self.net = None
         self.inp = None
+        self._last_gt = None        # (pose7, disp) of last keyframe
 
-    def track(self, tstamp, image, intrinsics):
-        """image (H,W,3) float [0,1]; intrinsics (4,) full-res."""
+    def _oracle_flow(self, gt_pose, gt_depth, intr8):
+        """Mean GT-induced flow vs the last keyframe (oracle admission)."""
+        from .depth_video import frame_distance_kernel
+        off = self.video.down // 2 - 1
+        h = self.video.H // self.video.down
+        w = self.video.W // self.video.down
+        gd = jnp.asarray(gt_depth)[off::self.video.down,
+                                   off::self.video.down][:h, :w]
+        disp = jnp.where(gd > 1e-6, 1.0 / jnp.clip(gd, 1e-6), 0.0)
+        last_pose, last_disp = self._last_gt
+        poses = jnp.stack([last_pose, jnp.asarray(gt_pose)])
+        disps = jnp.stack([last_disp, disp])
+        d = frame_distance_kernel(poses, disps, intr8,
+                                  jnp.asarray([0]), jnp.asarray([1]), 1.0)
+        return float(d[0]), disp
+
+    def track(self, tstamp, image, intrinsics, gt_pose=None, gt_depth=None):
+        """image (H,W,3) float [0,1]; intrinsics (4,) full-res;
+        gt_pose (7,) w2c + gt_depth (H,W) feed the oracle/eval slots."""
         gmap = encode_features(self.params, image)
         intr8 = jnp.asarray(intrinsics) / float(self.video.down)
 
@@ -74,11 +93,24 @@ class MotionFilter:
             mono = self.mono_fn(tstamp, image) if self.mono_fn else None
             self.video.append(
                 tstamp, image * 255.0, lie.identity(), 1.0, mono, intr8,
-                gmap, net, inp)
+                gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_depth)
+            if self.oracle and gt_pose is not None:
+                off = self.video.down // 2 - 1
+                h = self.video.H // self.video.down
+                w = self.video.W // self.video.down
+                gd = jnp.asarray(gt_depth)[off::self.video.down,
+                                           off::self.video.down][:h, :w]
+                self._last_gt = (jnp.asarray(gt_pose),
+                                 jnp.where(gd > 1e-6,
+                                           1.0 / jnp.clip(gd, 1e-6), 0.0))
             return True
 
-        delta = float(flow_magnitude(self.params, self.fmap, gmap,
-                                     self.net, self.inp))
+        if self.oracle and gt_pose is not None and self._last_gt is not None:
+            delta, disp = self._oracle_flow(gt_pose, gt_depth, intr8)
+        else:
+            delta = float(flow_magnitude(self.params, self.fmap, gmap,
+                                         self.net, self.inp))
+            disp = None
         if delta > self.thresh:
             self.count = 0
             net, inp = encode_context(self.params, image)
@@ -86,7 +118,9 @@ class MotionFilter:
             mono = self.mono_fn(tstamp, image) if self.mono_fn else None
             self.video.append(
                 tstamp, image * 255.0, None, None, mono, intr8,
-                gmap, net, inp)
+                gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_depth)
+            if self.oracle and gt_pose is not None:
+                self._last_gt = (jnp.asarray(gt_pose), disp)
             return True
         self.count += 1
         return False
