@@ -134,6 +134,17 @@ class SLAM:
             eval_rendering(self.mapper, self.save_dir, self.stream,
                            global_scale=self.global_scale,
                            iteration="after_refine", printer=self.printer)
+            if cfg.get("meshing", {}).get("mesh", False):
+                try:
+                    from .utils.eval_render import eval_mesh
+                    eval_mesh(self.mapper, self.save_dir,
+                              global_scale=self.global_scale,
+                              gt_mesh_path=cfg["meshing"].get(
+                                  "gt_mesh_path", ""),
+                              printer=self.printer)
+                except Exception as e:
+                    self.printer.print(f"mesh eval failed: {e}",
+                                       FontColor.ERROR)
             from .mapping.gaussians import save_ply
             save_ply(self.mapper.st,
                      os.path.join(self.save_dir, "gaussians.ply"))

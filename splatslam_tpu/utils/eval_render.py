@@ -27,6 +27,50 @@ def _try_lpips():
         return None
 
 
+def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
+              gt_mesh_path="", printer=None, voxel=5.0 / 512, trunc=0.04):
+    """TSDF-fuse rendered keyframe depths → mesh (+ optional F-score vs a
+    ground-truth mesh) — eval_utils.py:70-73,137-187 parity."""
+    from .mesh import TSDFVolume, save_mesh_ply, load_mesh_ply, run_evaluation
+
+    cams = [(k, mapper.viewpoints.get(k, mapper.cameras.get(k)))
+            for k in mapper.video_idxs if mapper.is_kf.get(k, False)]
+    cams = [(k, c) for k, c in cams if c is not None]
+    if not cams:
+        return None
+    # scene bounds from camera centers + proxy depth range
+    centers = np.stack([np.linalg.inv(np.asarray(c.w2c))[:3, 3]
+                        for _, c in cams])
+    depths_max = max(float(np.max(c.depth)) if c.depth is not None else 3.0
+                     for _, c in cams)
+    lo = centers.min(0) - depths_max
+    hi = centers.max(0) + depths_max
+    vol = TSDFVolume(lo, hi, voxel=voxel * max(global_scale, 1e-6),
+                     trunc=trunc * max(global_scale, 1e-6), max_dim=256)
+    intr = np.asarray(mapper.intrinsics)
+    for k, cam in cams:
+        out = mapper.render(cam)
+        d = np.asarray(out.depth)
+        a = np.asarray(out.alpha)
+        d = np.where(a > 0.5, d / np.clip(a, 1e-6, None), 0.0)
+        vol.integrate(d, np.asarray(np.clip(out.color, 0, 1)),
+                      np.asarray(cam.w2c), intr)
+    verts, faces = vol.extract_mesh()
+    os.makedirs(save_dir, exist_ok=True)
+    save_mesh_ply(os.path.join(save_dir, "mesh.ply"), verts, faces)
+    result = {"n_verts": int(len(verts)), "n_faces": int(len(faces))}
+    if gt_mesh_path and os.path.exists(gt_mesh_path):
+        gt_v, gt_f = load_mesh_ply(gt_mesh_path)
+        if global_scale != 1.0:
+            verts = verts * global_scale
+        stats = run_evaluation(verts, faces, gt_v, gt_f,
+                               distance_thresh=0.05, icp=True)
+        result.update(stats)
+    if printer:
+        printer.print(f"mesh eval: {result}")
+    return result
+
+
 def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
                    iteration="after_refine", printer=None):
     """Render every mapped keyframe and aggregate metrics
