@@ -19,3 +19,22 @@ TPU-first:
 """
 
 __version__ = "0.1.0"
+
+def enable_compilation_cache():
+    """Persistent on-disk compilation cache: kernel shapes are bucketed, so
+    across runs (and driver rounds) nearly every jit hits the cache instead
+    of the (slow, remote) TPU compiler."""
+    import jax
+    import os
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/splatslam_jax"))
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+enable_compilation_cache()

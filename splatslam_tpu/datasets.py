@@ -319,9 +319,11 @@ class Synthetic(BaseDataset):
         flat = v[order] * W + u[order]
         img.reshape(-1, 3)[flat] = ci[order]
         dep.reshape(-1)[flat] = zi[order]
-        # close pin-holes with a small max-filter on coverage
-        hole = dep == 0
-        if hole.any():
+        # close pin-holes by nearest-neighbor dilation until covered
+        for _ in range(16):
+            hole = dep == 0
+            if not hole.any():
+                break
             for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
                 cand_d = np.roll(dep, (dy, dx), (0, 1))
                 cand_i = np.roll(img, (dy, dx), (0, 1))

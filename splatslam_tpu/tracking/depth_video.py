@@ -174,9 +174,13 @@ def depth_filter_kernel(poses, disps, intrinsics, inds, thresh):
 
 @jax.jit
 def reproject_kernel(poses, disps, intrinsics, ii, jj):
-    """Project pixels of frames ii into frames jj (depth_video.py:170-178)."""
+    """Project pixels of frames ii into frames jj (depth_video.py:170-178).
+
+    intrinsics: (4,) shared across frames — broadcast to the per-frame
+    table projective_transform expects (it indexes intrinsics[:, ii])."""
+    intr_t = jnp.broadcast_to(intrinsics, (poses.shape[0], 4))
     coords, valid = pops.projective_transform(
-        poses[None], disps[None], intrinsics[None], ii, jj)
+        poses[None], disps[None], intr_t[None], ii, jj)
     return coords[0], valid[0]
 
 

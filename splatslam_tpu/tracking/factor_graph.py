@@ -318,11 +318,15 @@ class FactorGraph:
         """GT-flow update: targets from ground-truth geometry, unit
         weights. Same BA dispatch as the learned path."""
         s = self.video.state
+        ii_j = jnp.asarray(self.ii, jnp.int32)
         coords_gt, valid_gt = reproject_kernel(
             s.gt_poses, s.gt_disps, s.intrinsics[0],
-            jnp.asarray(self.ii, jnp.int32), jnp.asarray(self.jj, jnp.int32))
+            ii_j, jnp.asarray(self.jj, jnp.int32))
+        # mask pixels with no GT depth (hole pixels have gt_disp == 0 and
+        # would otherwise inject infinite-depth targets at full weight)
+        has_depth = (s.gt_disps[ii_j] > 1e-8)[..., None]
         self.target = coords_gt
-        self.weight = jnp.broadcast_to(valid_gt, coords_gt.shape)
+        self.weight = jnp.broadcast_to(valid_gt * has_depth, coords_gt.shape)
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)

@@ -161,3 +161,64 @@ def test_backend_dense_ba(params):
     assert n == 8
     assert n_edges > 0
     assert bool(jnp.isfinite(video.state.poses[:8]).all())
+
+
+def test_reproject_kernel_intrinsics_broadcast(params):
+    """Regression: reproject_kernel must broadcast shared (4,) intrinsics
+    to per-frame rows — passing (1,4) once poisoned all oracle targets."""
+    from splatslam_tpu.tracking.depth_video import reproject_kernel
+    from splatslam_tpu.ops import lie, projective as pops
+    P, h, w = 3, 8, 12
+    poses = lie.exp(jax.random.normal(jax.random.PRNGKey(0), (P, 6)) * 0.1)
+    disps = 0.5 * jnp.ones((P, h, w))
+    intr = jnp.asarray([10.0, 11.0, 6.0, 4.0])
+    ii = jnp.asarray([0, 1], jnp.int32)
+    jj = jnp.asarray([1, 2], jnp.int32)
+    got, gv = reproject_kernel(poses, disps, intr, ii, jj)
+    intr_t = jnp.broadcast_to(intr, (P, 4))
+    want, wv = pops.projective_transform(
+        poses[None], disps[None], intr_t[None], ii, jj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want[0]),
+                               atol=1e-4)
+
+
+def test_oracle_tracking_recovers_gt_poses(params):
+    """End-to-end oracle tracking on a synthetic scene reaches ~zero ATE."""
+    from splatslam_tpu.datasets import Synthetic
+    from splatslam_tpu.ops import lie
+    from splatslam_tpu.utils.eval_traj import ape_stats
+
+    cfg = small_cfg(H=96, W=128, buffer=16)
+    cfg.update({"dataset": "synthetic",
+                "synthetic": {"n_frames": 8, "seed": 7, "motion_scale": 5.0}})
+    cfg["cam"].update(H=96, W=128, fx=80.0, fy=80.0, cx=63.5, cy=47.5,
+                      H_edge=0, W_edge=0)
+    cfg["tracking"]["oracle"] = True
+    cfg["tracking"]["warmup"] = 5
+    cfg["tracking"]["motion_filter"]["thresh"] = 0.5
+    cfg["tracking"]["frontend"]["keyframe_thresh"] = 0.3
+    ds = Synthetic(cfg)
+    from splatslam_tpu.tracking import DepthVideo, MotionFilter, Frontend
+    video = DepthVideo(cfg)
+    mf = MotionFilter(params, video, cfg)
+    fe = Frontend(params, video, cfg)
+    intr = jnp.asarray(ds.get_intrinsic())
+    for k in range(len(ds)):
+        _, img, dep, c2w = ds[k]
+        gt_pose = lie.from_matrix(jnp.linalg.inv(jnp.asarray(c2w)))
+        mf.track(float(k), jnp.asarray(img), intr,
+                 gt_pose=gt_pose, gt_depth=dep)
+        fe()
+    n = video.counter
+    assert n >= 6
+    est = np.stack([np.asarray(jnp.linalg.inv(
+        jnp.asarray(lie_to_mat(video.state.poses[i])))) for i in range(n)])
+    ts = np.asarray(video.state.timestamp[:n]).astype(int)
+    gt = np.stack([ds[int(t)][3] for t in ts])
+    stats, _ = ape_stats(est[:, :3, 3], gt[:, :3, 3])
+    assert stats["rmse"] < 0.01, stats
+
+
+def lie_to_mat(p):
+    from splatslam_tpu.ops import lie
+    return lie.to_matrix(p)
