@@ -281,24 +281,28 @@ class Synthetic(BaseDataset):
         Y = (ys - self.cy) / self.fy * d
         self.points = np.stack([X, Y, d], -1).reshape(-1, 3)
         self.colors = tex.reshape(-1, 3)
-        # smooth camera trajectory (c2w); motion_scale controls parallax
+        # smooth BOUNDED camera trajectory (c2w): the camera inspects the
+        # scene from inside a box whose size scales with motion_scale —
+        # revisits give loop-closure-like structure; cumulative drift would
+        # eventually leave the scene's viewing volume entirely.
         ms = self.motion_scale
+        A = 0.06 * ms                 # translation amplitude (scene ~2-3.5 m)
+        R_amp = 0.015 * ms            # rotation amplitude (rad)
         self.poses = []
-        t = np.zeros(3)
-        ang = np.zeros(3)
         for k in range(self.n_img):
             c2w = np.eye(4)
-            ang = ang + ms * np.asarray([0.004, 0.008, 0.002]) * np.sin(
-                k / 7.0 + np.asarray([0, 1, 2]))
+            ang = R_amp * np.asarray([np.sin(k / 6.0),
+                                      np.sin(k / 9.0 + 1.0),
+                                      0.5 * np.sin(k / 13.0 + 2.0)])
             cx_, cy_, cz_ = np.cos(ang)
             sx_, sy_, sz_ = np.sin(ang)
             Rx = np.asarray([[1, 0, 0], [0, cx_, -sx_], [0, sx_, cx_]])
             Ry = np.asarray([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
             Rz = np.asarray([[cz_, -sz_, 0], [sz_, cz_, 0], [0, 0, 1]])
             c2w[:3, :3] = Rz @ Ry @ Rx
-            t = t + ms * np.asarray([0.045 * np.cos(k / 9.0),
-                                     0.025 * np.sin(k / 11.0), 0.035])
-            c2w[:3, 3] = t
+            c2w[:3, 3] = A * np.asarray([np.sin(k / 4.0),
+                                         0.6 * np.sin(k / 6.0 + 1.0),
+                                         0.8 * np.sin(k / 8.0 + 2.0)])
             self.poses.append(c2w.astype(np.float64))
 
     def _render(self, c2w):

@@ -15,6 +15,7 @@ keyframe (tracker.py:82-84 ↔ mapper.py:880-1116 semantics).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -120,6 +121,43 @@ def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
     return st, (m, v), exposure, radii, n_touched, loss
 
 
+@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "n_iters",
+                                   "lr_sched"))
+def map_step_n(st: G.GaussianState, exp_state, w2cs, images, depths,
+               exposure, use_exposure, cam_valid, intrinsics, lr_scalars,
+               step0, *, H: int, W: int, K: int, use_ssim: bool,
+               alpha: float, n_iters: int, lr_sched=None):
+    """`n_iters` mapping iterations in ONE device program.
+
+    The per-dispatch host↔device round trip dominates wall-clock when the
+    optimization loop is driven from Python (the reference's structure);
+    fusing the loop with lax.fori_loop amortizes it away. The xyz learning
+    rate is rescheduled per iteration on-device (lr_sched = (init, final,
+    delay_mult, max_steps) scalars), other lrs are fixed scalars.
+    """
+    lrs_fixed = lr_scalars
+
+    def body(i, carry):
+        st, exp_state, exposure, radii, n_touched, loss = carry
+        step = step0 + i
+        if lr_sched is not None:
+            xyz_lr = G.xyz_lr(step.astype(jnp.float32), *lr_sched)
+        else:
+            xyz_lr = lrs_fixed["xyz"]
+        lrs = dict(lrs_fixed, xyz=xyz_lr)
+        st, exp_state, exposure, radii, n_touched, loss = map_step(
+            st, exp_state, w2cs, images, depths, exposure, use_exposure,
+            cam_valid, intrinsics, lrs, step + 1,
+            H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha)
+        return st, exp_state, exposure, radii, n_touched, loss
+
+    Bc, C = w2cs.shape[0], st.xyz.shape[0]
+    init = (st, exp_state, jnp.asarray(exposure),
+            jnp.zeros((Bc, C)), jnp.zeros((Bc, C), jnp.int32),
+            jnp.asarray(0.0))
+    return jax.lax.fori_loop(0, n_iters, body, init)
+
+
 @jax.jit
 def deform_points(st: G.GaussianState, frame_id, w2c_new, w2c_old,
                   depth_new, depth_old, intrinsics, rigid: jnp.ndarray):
@@ -219,6 +257,8 @@ class Mapper:
         self.kf_cutoff = tr.get("kf_cutoff", 0.4)
         self.prune_mode = tr["prune_mode"]
         self.move_points = m["move_points"]
+        self.online_plotting = m.get("online_plotting", False)
+        self.save_dir = None
         self.pcd_downsample = m["pcd_downsample"]
         self.pcd_downsample_init = m["pcd_downsample_init"]
         self.adaptive_pointsize = m["adaptive_pointsize"]
@@ -350,22 +390,57 @@ class Mapper:
         return w2cs, imgs, deps, expo, use_exp, valid
 
     def _run_iters(self, cams, iters, densify_cfg=None, store_expo=True):
-        """Shared optimization loop: map/initialize_map/final_refine core."""
+        """Shared optimization loop: map/initialize_map/final_refine core.
+
+        Iterations run fused on device (map_step_n); the loop only returns
+        to the host at densify/reset boundaries, so a 60-iteration window
+        optimization is 1-2 dispatches instead of 60."""
         if not cams:
             return None
         w2cs, imgs, deps, expo, use_exp, valid = self._stack_cams(cams)
         exp_m = jnp.zeros_like(expo)
         exp_v = jnp.zeros_like(expo)
         last = None
-        for _ in range(iters):
-            self.iteration_count += 1
-            lrs = self._lrs()
-            self.st, (exp_m, exp_v), expo, radii, n_touched, loss = map_step(
+
+        lr_sched = (self.opt["position_lr_init"] * self.spatial_lr_scale,
+                    self.opt["position_lr_final"] * self.spatial_lr_scale,
+                    self.opt["position_lr_delay_mult"],
+                    self.opt["position_lr_max_steps"])
+        lrs_fixed = dict(xyz=0.0,
+                         f_dc=self.opt["feature_lr"],
+                         f_rest=self.opt["feature_lr"] / 20.0,
+                         opacity=self.opt["opacity_lr"],
+                         scaling=self.opt["scaling_lr"] * self.spatial_lr_scale,
+                         rotation=self.opt["rotation_lr"])
+
+        def host_events(it):
+            """Host work needed at iteration `it`? (densify/reset gates)"""
+            if densify_cfg is None:
+                return False
+            d = densify_cfg
+            return (it % d["update_every"] == d["update_offset"]
+                    or it in d.get("reset_at", ()))
+
+        done = 0
+        while done < iters:
+            # run until the next host event (or the end), in one dispatch
+            seg = 1
+            while (done + seg < iters
+                   and not host_events(self.iteration_count + seg)):
+                seg += 1
+            # power-of-2 segment buckets (one compile per bucket size)
+            seg_b = 1
+            while seg_b * 2 <= min(seg, 64):
+                seg_b *= 2
+            (self.st, (exp_m, exp_v), expo, radii, n_touched,
+             loss) = map_step_n(
                 self.st, (exp_m, exp_v), w2cs, imgs, deps, expo, use_exp,
-                valid, self.intrinsics, lrs,
+                valid, self.intrinsics, lrs_fixed,
                 jnp.asarray(self.iteration_count),
                 H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
-                alpha=self.alpha)
+                alpha=self.alpha, n_iters=seg_b, lr_sched=lr_sched)
+            self.iteration_count += seg_b
+            done += seg_b
             last = (radii, n_touched, loss)
             if densify_cfg is not None:
                 self._maybe_densify(**densify_cfg)
@@ -583,13 +658,20 @@ class Mapper:
             self.current_window)
         self.is_kf[video_idx] = True
 
-        # refresh every mapped keyframe's pose/depth and deform the map
-        # (mapper.py:1021-1055)
+        # refresh mapped keyframes' poses/depths and deform the map
+        # (mapper.py:1021-1055). The reference re-fuses EVERY keyframe every
+        # time (O(n²) host inpainting); we use the tracker's npc_dirty flags
+        # (depth_video.py:49-50 — allocated there but never exploited) to
+        # skip keyframes whose poses/depths did not change.
         last_frame_idx = self.keyframe_idxs[-1]
+        dirty = self.video.npc_dirty
         for v_idx, f_idx in zip(self.video_idxs, self.keyframe_idxs):
+            if not dirty[v_idx] and v_idx in self.depth_dict                     and f_idx != last_frame_idx:
+                continue
             mono_k = self.mono_loader(f_idx)
             depth_t, w2c_t, invalid_t = self.get_w2c_and_depth(
                 v_idx, f_idx, mono_k)
+            dirty[v_idx] = False
             if v_idx not in self.depth_dict and self.is_kf.get(v_idx, False):
                 self.depth_dict[v_idx] = depth_t
             if f_idx == last_frame_idx:
@@ -615,4 +697,33 @@ class Mapper:
 
         self.map(self.current_window, iters=self.mapping_itr_num)
         self.map(self.current_window, prune=True)
+        if self.online_plotting:
+            self.plot_online(video_idx)
         return True
+
+    def plot_online(self, video_idx):
+        """Per-keyframe RGB/depth/diff panel (mapper.py:358-396,570-612)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        cam = self.viewpoints.get(video_idx)
+        if cam is None:
+            return
+        out = self.render(cam)
+        img = np.clip(np.asarray(out.color), 0, 1)
+        gt = np.asarray(cam.image)
+        dep = np.asarray(out.depth)
+        gtd = np.asarray(cam.depth) if cam.depth is not None else dep * 0
+        fig, ax = plt.subplots(2, 3, figsize=(12, 6))
+        for a, (im, title) in zip(ax.flat, [
+                (gt, "gt rgb"), (img, "render"),
+                (np.abs(gt - img).mean(-1), "|diff|"),
+                (gtd, "proxy depth"), (dep, "render depth"),
+                (np.abs(gtd - dep), "|depth diff|")]):
+            a.imshow(im)
+            a.set_title(title)
+            a.axis("off")
+        plot_dir = os.path.join(self.save_dir or ".", "online_plots")
+        os.makedirs(plot_dir, exist_ok=True)
+        fig.savefig(os.path.join(plot_dir, f"{video_idx:05d}.png"), dpi=80)
+        plt.close(fig)

@@ -64,9 +64,15 @@ class MonoDepthProvider:
             _, _, depth, _ = self.dataset[idx]
             if depth is None:
                 return None
-            # fixed affine distortion: mono priors are scale/shift
-            # ambiguous, the tracker must recover (w, q) via DSPO stage 2
-            d = (np.asarray(depth, np.float32) * 0.5 + 0.2)
+            # affine distortion IN DISPARITY (the DSPO stage-2 model,
+            # geom/ba.py:169: disps − (w·mono_disp + q)): the tracker must
+            # recover w=2, q=-0.4. (A depth-affine prior is not exactly
+            # representable by (w, q) and would fight stage 1.)
+            z = np.asarray(depth, np.float32)
+            mono_disp = np.where(z > 1e-6, 0.5 / np.maximum(z, 1e-6) + 0.2,
+                                 0.0)
+            d = np.where(mono_disp > 1e-6, 1.0 / np.maximum(mono_disp, 1e-6),
+                         0.0)
         elif self.kind == "dpt":
             _, color, _, _ = self.dataset[idx]
             d = self._dpt(np.asarray(color))

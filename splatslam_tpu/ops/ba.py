@@ -427,6 +427,86 @@ def dba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
 # stage-2 DSPO: joint disparity / scale / shift (eq. 17), per-frame Schur
 # ---------------------------------------------------------------------------
 
+def _scale_shift_iteration(poses, disps, intrinsics, target, weight, eta,
+                           mono_disps, scales, shifts, valid_depth_mask,
+                           plan: EdgePlan, lm=1e-4, ep=0.1, alpha=0.01):
+    """One GN iteration of stage-2 DSPO (core shared by ba_scale_shift
+    and the fused tracking rounds kernel)."""
+    H_img, W_img = disps.shape[-2:]
+    HW = H_img * W_img
+    M = plan.M
+    sqrt_a = jnp.sqrt(jnp.asarray(alpha, disps.dtype))
+    ii = jnp.where(plan.edge_valid, plan.ii, 0)
+    jj = jnp.where(plan.edge_valid, plan.jj, 0)
+    _, _, _, Ck, wk = _edge_terms(
+        poses, disps, intrinsics, target, weight, ii, jj)
+    ev = plan.edge_valid.astype(Ck.dtype)
+    Ck = Ck * ev[:, None]
+    wk = wk * ev[:, None]
+    kseg = jnp.where(plan.edge_valid, plan.kk, M)
+    C_proj = jax.ops.segment_sum(Ck, kseg, num_segments=M + 1)[:-1]
+    # stage-2 sign convention: wk enters negated (geom/ba.py:197,216)
+    w_proj = jax.ops.segment_sum(-wk, kseg, num_segments=M + 1)[:-1]
+
+    mono = mono_disps[plan.kx].reshape(M, HW)
+    d_k = disps[plan.kx].reshape(M, HW)
+    vmask = valid_depth_mask[plan.kx].reshape(M, HW)
+    sc = scales[plan.kx][:, None]
+    sh = shifts[plan.kx][:, None]
+
+    invalid = mono < 1e-6
+    # residual uses the scalar sqrt(alpha); Jacobians get the 10× boost
+    # on multiview-consistent pixels (geom/ba.py:169-183, faithfully —
+    # including the intentionally mismatched residual/Jacobian scaling)
+    r_d = sqrt_a * (d_k - (sc * mono + sh))
+    sa = jnp.where(vmask, sqrt_a * 10.0, sqrt_a)
+    J_d = jnp.where(invalid & vmask, 0.0, sa)
+    J_s = jnp.where(invalid, 0.0, -mono * sa)
+    J_q = jnp.where(invalid, 0.0, -sa)
+
+    H00 = jnp.sum(J_s * J_s, -1)
+    H01 = jnp.sum(J_s * J_q, -1)
+    H11 = jnp.sum(J_q * J_q, -1)
+    u0 = -jnp.sum(J_s * r_d, -1)
+    u1 = -jnp.sum(J_q * r_d, -1)
+
+    C = C_proj + J_d * J_d + eta.reshape(M, HW)
+    Q = 1.0 / C
+    w = -w_proj - J_d * r_d
+
+    E0 = J_s * J_d                                # rows of E (2,HW) per k
+    E1 = J_q * J_d
+
+    # damp H before the Schur subtraction (torch chol.py:81 order)
+    H00d = H00 + ep + lm * H00
+    H11d = H11 + ep + lm * H11
+
+    S00 = H00d - jnp.sum(E0 * Q * E0, -1)
+    S01 = H01 - jnp.sum(E0 * Q * E1, -1)
+    S11 = H11d - jnp.sum(E1 * Q * E1, -1)
+    r0 = u0 - jnp.sum(E0 * Q * w, -1)
+    r1 = u1 - jnp.sum(E1 * Q * w, -1)
+
+    det = S00 * S11 - S01 * S01
+    safe = jnp.abs(det) > 1e-12
+    det = jnp.where(safe, det, 1.0)
+    dws = jnp.where(safe, (S11 * r0 - S01 * r1) / det, 0.0)
+    dq = jnp.where(safe, (-S01 * r0 + S00 * r1) / det, 0.0)
+
+    dz = Q * (w - (E0 * dws[:, None] + E1 * dq[:, None]))
+    fin = jnp.isfinite(dz).all(-1) & jnp.isfinite(dws) & jnp.isfinite(dq)
+    ok = fin & plan.kx_valid
+    dz = jnp.where(ok[:, None], dz, 0.0)
+    dws = jnp.where(ok, dws, 0.0)
+    dq = jnp.where(ok, dq, 0.0)
+
+    new_d = jnp.clip(d_k + dz, 1e-5, None).reshape(M, H_img, W_img)
+    disps = disps.at[plan.kx].set(new_d)
+    scales = scales.at[plan.kx].add(dws)
+    shifts = shifts.at[plan.kx].add(dq)
+    return disps, scales, shifts
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def ba_scale_shift(poses, disps, intrinsics, target, weight, eta,
                    mono_disps, scales, shifts, valid_depth_mask,
@@ -452,74 +532,10 @@ def ba_scale_shift(poses, disps, intrinsics, target, weight, eta,
     jj = jnp.where(plan.edge_valid, plan.jj, 0)
 
     def body(_, state):
-        disps, scales, shifts = state
-        _, _, _, Ck, wk = _edge_terms(
-            poses, disps, intrinsics, target, weight, ii, jj)
-        ev = plan.edge_valid.astype(Ck.dtype)
-        Ck = Ck * ev[:, None]
-        wk = wk * ev[:, None]
-        kseg = jnp.where(plan.edge_valid, plan.kk, M)
-        C_proj = jax.ops.segment_sum(Ck, kseg, num_segments=M + 1)[:-1]
-        # stage-2 sign convention: wk enters negated (geom/ba.py:197,216)
-        w_proj = jax.ops.segment_sum(-wk, kseg, num_segments=M + 1)[:-1]
-
-        mono = mono_disps[plan.kx].reshape(M, HW)
-        d_k = disps[plan.kx].reshape(M, HW)
-        vmask = valid_depth_mask[plan.kx].reshape(M, HW)
-        sc = scales[plan.kx][:, None]
-        sh = shifts[plan.kx][:, None]
-
-        invalid = mono < 1e-6
-        # residual uses the scalar sqrt(alpha); Jacobians get the 10× boost
-        # on multiview-consistent pixels (geom/ba.py:169-183, faithfully —
-        # including the intentionally mismatched residual/Jacobian scaling)
-        r_d = sqrt_a * (d_k - (sc * mono + sh))
-        sa = jnp.where(vmask, sqrt_a * 10.0, sqrt_a)
-        J_d = jnp.where(invalid & vmask, 0.0, sa)
-        J_s = jnp.where(invalid, 0.0, -mono * sa)
-        J_q = jnp.where(invalid, 0.0, -sa)
-
-        H00 = jnp.sum(J_s * J_s, -1)
-        H01 = jnp.sum(J_s * J_q, -1)
-        H11 = jnp.sum(J_q * J_q, -1)
-        u0 = -jnp.sum(J_s * r_d, -1)
-        u1 = -jnp.sum(J_q * r_d, -1)
-
-        C = C_proj + J_d * J_d + eta.reshape(M, HW)
-        Q = 1.0 / C
-        w = -w_proj - J_d * r_d
-
-        E0 = J_s * J_d                                # rows of E (2,HW) per k
-        E1 = J_q * J_d
-
-        # damp H before the Schur subtraction (torch chol.py:81 order)
-        H00d = H00 + ep + lm * H00
-        H11d = H11 + ep + lm * H11
-
-        S00 = H00d - jnp.sum(E0 * Q * E0, -1)
-        S01 = H01 - jnp.sum(E0 * Q * E1, -1)
-        S11 = H11d - jnp.sum(E1 * Q * E1, -1)
-        r0 = u0 - jnp.sum(E0 * Q * w, -1)
-        r1 = u1 - jnp.sum(E1 * Q * w, -1)
-
-        det = S00 * S11 - S01 * S01
-        safe = jnp.abs(det) > 1e-12
-        det = jnp.where(safe, det, 1.0)
-        dws = jnp.where(safe, (S11 * r0 - S01 * r1) / det, 0.0)
-        dq = jnp.where(safe, (-S01 * r0 + S00 * r1) / det, 0.0)
-
-        dz = Q * (w - (E0 * dws[:, None] + E1 * dq[:, None]))
-        fin = jnp.isfinite(dz).all(-1) & jnp.isfinite(dws) & jnp.isfinite(dq)
-        ok = fin & plan.kx_valid
-        dz = jnp.where(ok[:, None], dz, 0.0)
-        dws = jnp.where(ok, dws, 0.0)
-        dq = jnp.where(ok, dq, 0.0)
-
-        new_d = jnp.clip(d_k + dz, 1e-5, None).reshape(M, H_img, W_img)
-        disps = disps.at[plan.kx].set(new_d)
-        scales = scales.at[plan.kx].add(dws)
-        shifts = shifts.at[plan.kx].add(dq)
-        return disps, scales, shifts
+        disps_i, scales_i, shifts_i = state
+        return _scale_shift_iteration(
+            poses, disps_i, intrinsics, target, weight, eta, mono_disps,
+            scales_i, shifts_i, valid_depth_mask, plan, lm, ep, alpha)
 
     return jax.lax.fori_loop(0, iters, body, (disps, scales, shifts))
 

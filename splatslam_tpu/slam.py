@@ -57,6 +57,7 @@ class SLAM:
             self.mapper = Mapper(cfg, self.video, self.stream,
                                  mono_loader=self.mono,
                                  printer=self.printer)
+            self.mapper.save_dir = self.save_dir
 
         self.ba_freq = cfg["tracking"]["backend"]["ba_freq"]
         self.enable_online_ba = cfg["tracking"]["frontend"][
@@ -101,7 +102,7 @@ class SLAM:
             prev_kf_idx = curr_kf_idx
             self.printer.update_pbar()
 
-        self.terminate()
+        return self.terminate()
 
     def backend(self):
         self.printer.print("Final Global BA Triggered!", FontColor.TRACKER)
@@ -114,6 +115,23 @@ class SLAM:
         """Final BA → save → trajectory eval → refine → render eval
         (slam.py:130-244)."""
         cfg = self.cfg
+        # optional pre-final-BA evaluation (slam.py:133-164)
+        if (cfg["tracking"]["backend"]["final_ba"]
+                and cfg["mapping"].get("eval_before_final_ba", False)
+                and self.mapper is not None):
+            npz0 = os.path.join(self.save_dir, "video_before_ba.npz")
+            self.video.save_video(npz0)
+            try:
+                _, scale0, _, _ = kf_traj_eval(
+                    npz0, os.path.join(self.save_dir, "traj"),
+                    "kf_traj_before_ba", self.stream, self.printer)
+                eval_rendering(self.mapper, self.save_dir, self.stream,
+                               global_scale=scale0,
+                               iteration="before_refine",
+                               printer=self.printer)
+            except Exception as e:
+                self.printer.print(str(e), FontColor.ERROR)
+
         if cfg["tracking"]["backend"]["final_ba"]:
             self.backend()
 

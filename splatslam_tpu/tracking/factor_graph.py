@@ -103,6 +103,124 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
     return net_n, target_new, weight_new, eta, upmask, coords1, mask
 
 
+@partial(jax.jit, static_argnames=("num_kf", "rounds", "opt_types",
+                                   "use_net", "mv_visible_num",
+                                   "act_start", "n_act"))
+def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
+                  mono_disps, depth_scale, depth_shift, valid_small,
+                  gt_poses, gt_disps, net, target_all, weight_all,
+                  ii_act, jj_act, edge_valid_act, ix, uniq_act, plan,
+                  damping_maps, mv_thresh, EP, *, num_kf: int, rounds: int,
+                  opt_types: tuple, use_net: bool, mv_visible_num: int,
+                  act_start: int, n_act: int):
+    """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
+
+    The reference runs each round as many separate device launches
+    (factor_graph.py:226-270, 8-16 rounds per keyframe); on a latency-bound
+    dispatch path that is the throughput ceiling. The edge set is constant
+    within a keyframe's rounds, so the whole loop fuses.
+
+    target_all/weight_all: (N_plan, h, w, 2) rows ordered
+    [inactive..., active..., padding]; the GRU updates rows
+    [act_start : act_start + n_act] each round (static slice).
+    ii_act/... are the active edges padded to their own GRU bucket.
+    opt_types: static tuple of "pose_depth"/"depth_scale" per round.
+    Per-keyframe damping lives in damping_maps (buffer-indexed);
+    plan.kx rows index straight into it.
+    """
+    from ..ops.upsample import upsample_disp
+    from ..ops import lie
+    from ..ops.ba import (_dba_iteration, _scale_shift_iteration,
+                          align_scale_and_shift)
+    from .depth_video import depth_filter_kernel
+
+    h, w = disps.shape[-2:]
+    net_out = net
+    target_act = target_all[act_start:act_start + n_act]
+
+    for r in range(rounds):
+        # --- update operator on the active edges -------------------------
+        if use_net:
+            # pad the current active targets to the GRU bucket
+            pad = ii_act.shape[0] - n_act
+            t_pad = jnp.concatenate(
+                [target_act, jnp.zeros((pad, h, w, 2))], 0) if pad else \
+                target_act
+            net_out, t_new, w_new, eta_net, upmask, _, _ = _update_kernel(
+                params, poses, disps, intrinsics, fmaps, inps, net_out,
+                t_pad, ii_act, jj_act, edge_valid_act, ix, num_kf)
+            target_act = t_new[:n_act]
+            weight_act = w_new[:n_act]
+            # uniq_act is padded with an out-of-bounds sentinel -> dropped
+            damping_maps = damping_maps.at[uniq_act].set(
+                eta_net[:uniq_act.shape[0]], mode="drop")
+        else:
+            coords_gt, valid_gt = reproject_kernel(
+                gt_poses, gt_disps, intrinsics, ii_act[:n_act],
+                jj_act[:n_act])
+            has_depth = (gt_disps[ii_act[:n_act]] > 1e-8)[..., None]
+            target_act = coords_gt
+            weight_act = jnp.broadcast_to(valid_gt * has_depth,
+                                          coords_gt.shape)
+            upmask = None
+
+        target_all = jax.lax.dynamic_update_slice_in_dim(
+            target_all, target_act, act_start, 0)
+        weight_all = jax.lax.dynamic_update_slice_in_dim(
+            weight_all, weight_act, act_start, 0)
+        eta = 0.2 * damping_maps[plan.kx] + EP
+
+        if opt_types[r] == "pose_depth":
+            for _ in range(2):
+                dx, dz = _dba_iteration(
+                    poses, disps, intrinsics, target_all, weight_all, eta,
+                    jnp.zeros_like(disps), plan, 1e-4, 0.1, False)
+                pose_idx = plan.t0 + jnp.arange(plan.P)
+                new_p = lie.retr(poses[pose_idx], dx.astype(poses.dtype))
+                poses = poses.at[pose_idx].set(lie.normalize(new_p))
+                dz_img = (dz.reshape(plan.M, h, w)
+                          * plan.kx_valid[:, None, None])
+                upd = jnp.clip(disps[plan.kx] + dz_img, 1e-5, None)
+                disps = disps.at[plan.kx].set(upd)
+        else:
+            # stage-2: refresh the multiview mask + (w, q) init for the
+            # touched frames (depth_video.py:236-251 semantics)
+            kx = plan.kx
+            d_kx = disps[kx]
+            depths = 1.0 / jnp.clip(d_kx, 1e-8)
+            thr = mv_thresh * depths.mean(axis=(1, 2))
+            count = depth_filter_kernel(poses, disps, intrinsics,
+                                        kx.astype(jnp.int32), thr)
+            mv = count >= mv_visible_num
+            dep_mv = jnp.where(mv, depths, jnp.nan)
+            med = jnp.nanmedian(dep_mv.reshape(kx.shape[0], -1), axis=1)
+            masks = mv & (depths < 3 * med[:, None, None])
+            valid_small = valid_small.at[kx].set(masks)
+
+            sc, sh, _ = align_scale_and_shift(mono_disps[kx], d_kx,
+                                              valid_small[kx])
+            depth_scale = depth_scale.at[kx].set(sc)
+            depth_shift = depth_shift.at[kx].set(sh)
+            for _ in range(2):
+                disps, depth_scale, depth_shift = _scale_shift_iteration(
+                    poses, disps, intrinsics, target_all, weight_all, eta,
+                    mono_disps, depth_scale, depth_shift, valid_small,
+                    plan, 1e-4, 0.1, 0.01)
+
+        # --- convex upsampling of the touched disparities -----------------
+        uniq_safe = jnp.clip(uniq_act, 0, disps.shape[0] - 1)
+        if use_net:
+            up = upsample_disp(disps[uniq_safe],
+                               upmask[:uniq_act.shape[0]])
+        else:
+            zero_mask = jnp.zeros((uniq_act.shape[0], h, w, 576))
+            up = upsample_disp(disps[uniq_safe], zero_mask)
+        disps_up = disps_up.at[uniq_act].set(up, mode="drop")
+
+    return (poses, disps, disps_up, net_out, target_all, weight_all,
+            damping_maps, depth_scale, depth_shift, valid_small)
+
+
 class FactorGraph:
     """Mirrors the reference FactorGraph API on top of the fused kernel."""
 
@@ -135,7 +253,6 @@ class FactorGraph:
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
 
-        self.damping = 1e-6 * np.ones((video.buffer,), np.float32)  # scalar fallback
         self.damping_maps = 1e-6 * jnp.ones(
             (video.buffer, self.h, self.w), jnp.float32)
 
@@ -351,16 +468,103 @@ class FactorGraph:
             self.video.upsample(uniq, zero_mask)
         self.age += 1
 
+    def update_rounds(self, opt_types, t0=None, t1=None, use_inactive=False,
+                      EP=1e-7):
+        """Run len(opt_types) update rounds in ONE device dispatch.
+
+        Falls back to per-round update() when the fused path can't express
+        the configuration (mono_thres edge filtering is host-side)."""
+        if len(self.ii) == 0:
+            return
+        needs_stage2 = any(t == "depth_scale" for t in opt_types)
+        if self.video.mono_thres and needs_stage2:
+            for t in opt_types:
+                self.update(t0=t0, t1=t1, use_inactive=use_inactive, EP=EP,
+                            opt_type=t)
+            return
+        if self.video.BA_type != "DSPO":
+            opt_types = tuple("pose_depth" for _ in opt_types)
+
+        ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
+        # pad uniq to the keyframe bucket with an OOB sentinel (dropped in
+        # scatters) so unique-count changes don't retrigger compilation
+        uniq_pad = np.full(Mk, self.video.buffer, np.int64)
+        uniq_pad[:len(uniq)] = uniq
+        n_act = len(self.ii)
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if use_inactive:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            ii_in = self.ii_inac[m]
+            jj_in = self.jj_inac[m]
+            sel = jnp.asarray(np.where(m)[0])
+            t_in = self.target_inac[sel]
+            w_in = self.weight_inac[sel]
+        else:
+            ii_in = np.zeros(0, np.int64)
+            jj_in = np.zeros(0, np.int64)
+            t_in = jnp.zeros((0, self.h, self.w, 2))
+            w_in = jnp.zeros((0, self.h, self.w, 2))
+        n_inac = len(ii_in)
+        ii_all = np.concatenate([ii_in, self.ii])
+        jj_all = np.concatenate([jj_in, self.jj])
+        if t1 is None:
+            t1 = int(max(ii_all.max(), jj_all.max())) + 1
+        from ..ops import ba as ba_ops
+        plan = ba_ops.make_edge_plan(ii_all, jj_all, int(t0), int(t1))
+        Np = plan.ii.shape[0]
+        target_all = jnp.zeros((Np, self.h, self.w, 2))
+        weight_all = jnp.zeros((Np, self.h, self.w, 2))
+        if n_inac:
+            target_all = target_all.at[:n_inac].set(t_in)
+            weight_all = weight_all.at[:n_inac].set(w_in)
+        target_all = target_all.at[n_inac:n_inac + n_act].set(self.target)
+        weight_all = weight_all.at[n_inac:n_inac + n_act].set(self.weight)
+
+        s = self.video.state
+        mv_cfg = self.video.cfg["tracking"]["multiview_filter"]
+        pad_act = len(ii_p) - n_act
+        net_p = jnp.concatenate(
+            [self.net, jnp.zeros((pad_act, self.h, self.w, 128),
+                                 _NET_DTYPE)], 0) if pad_act else self.net
+
+        (poses, disps, disps_up, net_out, target_all, weight_all,
+         damping_maps, depth_scale, depth_shift, valid_small) = \
+            _fused_rounds(
+                self.params, s.poses, s.disps, s.disps_up, s.intrinsics[0],
+                s.fmaps, s.inps, s.mono_disps, s.depth_scale,
+                s.depth_shift, s.valid_depth_mask_small, s.gt_poses,
+                s.gt_disps, net_p, target_all, weight_all,
+                jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
+                jnp.asarray(valid), jnp.asarray(ix, jnp.int32),
+                jnp.asarray(uniq_pad, jnp.int32), plan, self.damping_maps,
+                mv_cfg["thresh"], EP, num_kf=Mk, rounds=len(opt_types),
+                opt_types=tuple(opt_types), use_net=not self.oracle,
+                mv_visible_num=mv_cfg["visible_num"],
+                act_start=n_inac, n_act=n_act)
+
+        s.poses = poses
+        s.disps = disps
+        s.disps_up = disps_up
+        s.depth_scale = depth_scale
+        s.depth_shift = depth_shift
+        s.valid_depth_mask_small = valid_small
+        self.damping_maps = damping_maps
+        self.net = net_out[:n_act]
+        self.target = target_all[n_inac:n_inac + n_act]
+        self.weight = weight_all[n_inac:n_inac + n_act]
+        self.age += len(opt_types)
+
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,
                       EP=1e-7, steps=8, enable_wq=True):
         """Global-BA update loop (factor_graph.py:273-323). The reference
-        alternates sub-batched GRU sweeps with BA; our update() already
-        streams edges in chunks, so each step is one fused sweep + BA."""
-        for step in range(steps):
-            opt_type = ("pose_depth" if (step % 2 == 0 or not enable_wq)
-                        else "depth_scale")
-            self.update(t0=t0, t1=t1, itrs=itrs, use_inactive=use_inactive,
-                        EP=EP, opt_type=opt_type)
+        alternates sub-batched GRU sweeps with BA; here all `steps` rounds
+        fuse into one device program (update_rounds)."""
+        opt_types = tuple(
+            "pose_depth" if (step % 2 == 0 or not enable_wq)
+            else "depth_scale" for step in range(steps))
+        self.update_rounds(opt_types, t0=t0, t1=t1,
+                           use_inactive=use_inactive, EP=EP)
 
     # -- edge proposal (factor_graph.py:326-476) -----------------------------
 

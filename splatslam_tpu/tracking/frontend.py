@@ -54,10 +54,10 @@ class Frontend:
             rad=self.frontend_radius, nms=self.frontend_nms,
             thresh=self.frontend_thresh, beta=self.beta, remove=True)
 
-        for itr in range(self.iters1):
-            opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
-            self.graph.update(None, None, use_inactive=True,
-                              opt_type=opt_type)
+        self.graph.update_rounds(
+            tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
+                  for itr in range(self.iters1)),
+            None, None, use_inactive=True)
 
         d = self.video.distance([self.t1 - 2], [self.t1 - 1],
                                 beta=self.beta, bidirectional=True)
@@ -74,17 +74,16 @@ class Frontend:
                     motion_only=False, local_graph=self.graph,
                     enable_wq=True)
                 if n_edge == 0:
-                    for itr in range(self.iters2):
-                        opt_type = ("pose_depth" if itr % 2 == 0
-                                    else "depth_scale")
-                        self.graph.update(None, None, use_inactive=True,
-                                          opt_type=opt_type)
+                    self.graph.update_rounds(
+                        tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
+                              for itr in range(self.iters2)),
+                        None, None, use_inactive=True)
                 self.last_loop_t = cur_t
             else:
-                for itr in range(self.iters2):
-                    opt_type = "pose_depth" if itr % 2 == 0 else "depth_scale"
-                    self.graph.update(None, None, use_inactive=True,
-                                      opt_type=opt_type)
+                self.graph.update_rounds(
+                    tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
+                          for itr in range(self.iters2)),
+                    None, None, use_inactive=True)
 
         # seed next frame: copy pose, set disparity to the mean
         # (frontend.py:95-96)
@@ -100,14 +99,12 @@ class Frontend:
         self.t1 = self.video.counter
 
         self.graph.add_neighborhood_factors(0, self.t1, r=3)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+        self.graph.update_rounds(("pose_depth",) * 8, 1, use_inactive=True)
 
         self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
                                          thresh=self.frontend_thresh,
                                          remove=False)
-        for _ in range(8):
-            self.graph.update(1, use_inactive=True, opt_type="pose_depth")
+        self.graph.update_rounds(("pose_depth",) * 8, 1, use_inactive=True)
 
         s = self.video.state
         s.poses = s.poses.at[self.t1].set(s.poses[self.t1 - 1])

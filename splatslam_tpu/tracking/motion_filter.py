@@ -37,6 +37,26 @@ def encode_context(params, image):
 
 
 @jax.jit
+def track_kernel(params, image, fmap_last, net_last, inp_last):
+    """Fused per-frame motion check: encode features AND compute the mean
+    flow-revision magnitude vs the last keyframe in one dispatch
+    (motion_filter.py:73-94 runs these as separate launches)."""
+    model = DroidNet()
+    inputs = normalize_images(image)[None]
+    gmap = model.apply({"params": params}, inputs,
+                       method=DroidNet.features)[0]
+    h, w = gmap.shape[:2]
+    coords0 = pops.coords_grid(h, w)[None]
+    pyr = corr_ops.build_corr_pyramid(
+        fmap_last[None].astype(jnp.float32), gmap[None].astype(jnp.float32))
+    corr = corr_ops.lookup_pyramid(pyr, coords0)
+    _, delta, _ = model.apply(
+        {"params": params}, net_last[None], inp_last[None], corr,
+        method=DroidNet.update_step)
+    return gmap, jnp.linalg.norm(delta, axis=-1).mean()
+
+
+@jax.jit
 def flow_magnitude(params, fmap_last, gmap, net_last, inp_last):
     """One update-operator iteration vs the last keyframe; returns the
     mean ‖delta‖ (motion_filter.py:85-94)."""
@@ -84,8 +104,13 @@ class MotionFilter:
     def track(self, tstamp, image, intrinsics, gt_pose=None, gt_depth=None):
         """image (H,W,3) float [0,1]; intrinsics (4,) full-res;
         gt_pose (7,) w2c + gt_depth (H,W) feed the oracle/eval slots."""
-        gmap = encode_features(self.params, image)
         intr8 = jnp.asarray(intrinsics) / float(self.video.down)
+        if self.video.counter == 0 or self.oracle:
+            gmap = encode_features(self.params, image)
+            delta_mag = None
+        else:
+            gmap, delta_mag = track_kernel(self.params, image, self.fmap,
+                                           self.net, self.inp)
 
         if self.video.counter == 0:
             net, inp = encode_context(self.params, image)
@@ -108,8 +133,7 @@ class MotionFilter:
         if self.oracle and gt_pose is not None and self._last_gt is not None:
             delta, disp = self._oracle_flow(gt_pose, gt_depth, intr8)
         else:
-            delta = float(flow_magnitude(self.params, self.fmap, gmap,
-                                         self.net, self.inp))
+            delta = float(delta_mag)
             disp = None
         if delta > self.thresh:
             self.count = 0

@@ -50,6 +50,8 @@ class PoseTrajectoryFiller:
         graph = FactorGraph(self.video, self.params, upsample=False)
         graph.add_factors(t0, np.arange(N, N + M))
         graph.add_factors(t1, np.arange(N, N + M))
+        # motion-only rounds stay per-call (pose-only solves are tiny);
+        # fusing would need a motion_only opt_type — keep simple for now
         for _ in range(12):
             graph.update(N, N + M, motion_only=True)
 

@@ -100,9 +100,6 @@ class TSDFVolume:
 # marching cubes (compact numpy implementation)
 # ---------------------------------------------------------------------------
 
-# the 12 cube edges as (corner_a, corner_b)
-_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
-          (0, 4), (1, 5), (2, 6), (3, 7)]
 _CORNER = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
                     [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]])
 
@@ -118,8 +115,6 @@ def _build_tri_table():
 
 
 _TETS = _build_tri_table()
-# edge key → index helper for vertex dedup
-_TET_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
 
 
 def marching_cubes(vol: np.ndarray, level: float = 0.0):

