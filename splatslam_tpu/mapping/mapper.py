@@ -121,12 +121,11 @@ def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
     return st, (m, v), exposure, radii, n_touched, loss
 
 
-@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "n_iters",
-                                   "lr_sched"))
+@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "lr_sched"))
 def map_step_n(st: G.GaussianState, exp_state, w2cs, images, depths,
                exposure, use_exposure, cam_valid, intrinsics, lr_scalars,
-               step0, *, H: int, W: int, K: int, use_ssim: bool,
-               alpha: float, n_iters: int, lr_sched=None):
+               step0, n_iters, *, H: int, W: int, K: int, use_ssim: bool,
+               alpha: float, lr_sched=None):
     """`n_iters` mapping iterations in ONE device program.
 
     The per-dispatch host↔device round trip dominates wall-clock when the
@@ -155,6 +154,7 @@ def map_step_n(st: G.GaussianState, exp_state, w2cs, images, depths,
     init = (st, exp_state, jnp.asarray(exposure),
             jnp.zeros((Bc, C)), jnp.zeros((Bc, C), jnp.int32),
             jnp.asarray(0.0))
+    # traced n_iters: ONE compiled program serves every segment length
     return jax.lax.fori_loop(0, n_iters, body, init)
 
 
@@ -428,17 +428,14 @@ class Mapper:
             while (done + seg < iters
                    and not host_events(self.iteration_count + seg)):
                 seg += 1
-            # power-of-2 segment buckets (one compile per bucket size)
-            seg_b = 1
-            while seg_b * 2 <= min(seg, 64):
-                seg_b *= 2
+            seg_b = seg
             (self.st, (exp_m, exp_v), expo, radii, n_touched,
              loss) = map_step_n(
                 self.st, (exp_m, exp_v), w2cs, imgs, deps, expo, use_exp,
                 valid, self.intrinsics, lrs_fixed,
-                jnp.asarray(self.iteration_count),
+                jnp.asarray(self.iteration_count), jnp.asarray(seg_b),
                 H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
-                alpha=self.alpha, n_iters=seg_b, lr_sched=lr_sched)
+                alpha=self.alpha, lr_sched=lr_sched)
             self.iteration_count += seg_b
             done += seg_b
             last = (radii, n_touched, loss)

@@ -50,6 +50,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _geom_bucket(x: int, base: int) -> int:
+    """Smallest base·2^k ≥ x — geometric shape buckets keep the number of
+    distinct compiled programs logarithmic in problem size."""
+    b = base
+    while b < x:
+        b *= 2
+    return b
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EdgePlan:
@@ -88,13 +97,13 @@ def make_edge_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
     m = kx.shape[0]
     kk = np.searchsorted(kx, ii).astype(np.int32)
 
-    Np = max(_round_up(max(n, 1), edge_bucket), edge_bucket)
-    M = max(_round_up(m, depth_bucket), depth_bucket)
-    P = max(_round_up(t1 - t0, pose_bucket), pose_bucket)
+    Np = _geom_bucket(max(n, 1), edge_bucket)
+    M = _geom_bucket(max(m, 1), depth_bucket)
+    P = _geom_bucket(max(t1 - t0, 1), pose_bucket)
 
     counts = np.bincount(kk, minlength=m) if n else np.zeros(m, np.int64)
     d = int(counts.max()) if n else 1
-    D = max(_round_up(max(d, 1), group_bucket), group_bucket)
+    D = _geom_bucket(max(d, 1), group_bucket)
     grp = -np.ones((M, D), dtype=np.int32)
     fill = np.zeros(m, dtype=np.int32)
     for e_idx, k in enumerate(kk):

@@ -362,14 +362,17 @@ class FactorGraph:
     # -- the update operator (factor_graph.py:226-270) -----------------------
 
     def _padded_edges(self):
-        """Bucket-pad (ii, jj) and build unique-keyframe slots."""
+        """Bucket-pad (ii, jj) and build unique-keyframe slots
+        (geometric buckets: log-many compiled shape variants)."""
+        from ..ops.ba import _geom_bucket
         n = self.ii.shape[0]
-        Np = _round_up(n, _EDGE_BUCKET)
+        Np = _geom_bucket(max(n, 1), _EDGE_BUCKET)
         ii_p = np.concatenate([self.ii, np.zeros(Np - n, np.int64)])
         jj_p = np.concatenate([self.jj, np.zeros(Np - n, np.int64)])
         valid = np.arange(Np) < n
+        from ..ops.ba import _geom_bucket as _gb
         uniq, inv = np.unique(self.ii, return_inverse=True)
-        Mk = _round_up(len(uniq), _KF_BUCKET)
+        Mk = _gb(max(len(uniq), 1), _KF_BUCKET)
         ix = np.concatenate([inv, np.full(Np - n, Mk, np.int64)])
         return ii_p, jj_p, valid, ix, uniq, Mk
 
@@ -484,6 +487,17 @@ class FactorGraph:
             return
         if self.video.BA_type != "DSPO":
             opt_types = tuple("pose_depth" for _ in opt_types)
+
+        # fuse in small repeating cycles: one compiled 2-round program gets
+        # reused across all rounds (an 8-round program would be a 4x larger
+        # compile unit used once per shape bucket)
+        cycle = 2 if len(opt_types) > 2 else len(opt_types)
+        if len(opt_types) > cycle:
+            for c0 in range(0, len(opt_types), cycle):
+                chunk = opt_types[c0:c0 + cycle]
+                self.update_rounds(chunk, t0=t0, t1=t1,
+                                   use_inactive=use_inactive, EP=EP)
+            return
 
         ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
         # pad uniq to the keyframe bucket with an OOB sentinel (dropped in

@@ -120,76 +120,95 @@ _TETS = _build_tri_table()
 def marching_cubes(vol: np.ndarray, level: float = 0.0):
     """Marching tetrahedra over a (nx, ny, nz) scalar field (NaN = empty).
 
-    Returns (verts (V,3) in voxel units, faces (F,3) int)."""
+    Fully vectorized: all active cells × 6 tetrahedra are processed as
+    numpy batches; interpolated edge vertices are deduplicated by their
+    (corner_a, corner_b) key. Returns (verts (V,3) voxel units, faces)."""
     nx, ny, nz = vol.shape
     filled = np.isfinite(vol)
-    v = np.where(filled, vol, 1e3)
+    v = np.where(filled, vol, 1e3).astype(np.float64)
 
-    verts = []
-    faces = []
-    vert_cache = {}
-
-    # find active cells cheaply: sign change among any corner pair
     sign = v < level
-    cells = np.zeros((nx - 1, ny - 1, nz - 1), bool)
-    inside_all = np.ones_like(cells)
-    any_in = np.zeros_like(cells)
-    all_ok = np.ones_like(cells)
+    any_in = np.zeros((nx - 1, ny - 1, nz - 1), bool)
+    all_in = np.ones_like(any_in)
+    all_ok = np.ones_like(any_in)
     for dx, dy, dz in _CORNER:
         s = sign[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]
         f = filled[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]
         any_in |= s
-        inside_all &= s
+        all_in &= s
         all_ok &= f
-    cells = any_in & ~inside_all & all_ok
-    idxs = np.argwhere(cells)
+    cells = np.argwhere(any_in & ~all_in & all_ok)          # (C, 3)
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
 
-    def edge_vertex(p0, p1):
-        key = (tuple(p0), tuple(p1)) if tuple(p0) < tuple(p1) else \
-            (tuple(p1), tuple(p0))
-        if key in vert_cache:
-            return vert_cache[key]
-        va = v[tuple(p0)]
-        vb = v[tuple(p1)]
-        t = (level - va) / (vb - va)
-        t = min(max(t, 0.0), 1.0)
-        pt = p0 + t * (p1 - p0)
-        vert_cache[key] = len(verts)
-        verts.append(pt)
-        return len(verts) - 1
+    corners = cells[:, None, :] + _CORNER[None]             # (C, 8, 3)
+    vals = v[corners[..., 0], corners[..., 1], corners[..., 2]]  # (C, 8)
+    ins = vals < level
 
-    for (cx, cy, cz) in idxs:
-        base = np.asarray([cx, cy, cz])
-        corners = base + _CORNER
-        vals = np.asarray([v[tuple(c)] for c in corners])
-        for tet in _TETS:
-            s = [vals[i] < level for i in tet]
-            n_in = sum(s)
-            if n_in == 0 or n_in == 4:
-                continue
-            inside = [i for i, f in zip(tet, s) if f]
-            outside = [i for i, f in zip(tet, s) if not f]
-            if n_in == 1:
-                a = corners[inside[0]]
-                tri = [edge_vertex(a, corners[o]) for o in outside]
-                faces.append(tri)
-            elif n_in == 3:
-                a = corners[outside[0]]
-                tri = [edge_vertex(corners[i], a) for i in inside]
-                faces.append(tri)
-            else:  # 2 in, 2 out → quad = 2 triangles
-                a, b = corners[inside[0]], corners[inside[1]]
-                c, d = corners[outside[0]], corners[outside[1]]
-                v0 = edge_vertex(a, c)
-                v1 = edge_vertex(a, d)
-                v2 = edge_vertex(b, c)
-                v3 = edge_vertex(b, d)
-                faces.append([v0, v1, v2])
-                faces.append([v1, v3, v2])
+    tri_edges = []   # list of (C_sel, 3, 2, 3) corner-pair coords per tri
+    for tet in _TETS:
+        t_idx = np.asarray(tet)
+        t_in = ins[:, t_idx]                                # (C, 4)
+        n_in = t_in.sum(1)
 
-    if not verts:
-        return np.zeros((0, 3)), np.zeros((0, 3), int)
-    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+        def pairs(sel, inside_k, outside_k, flip=False):
+            """Build triangles from (inside corner(s), outside corner(s))."""
+            if not sel.any():
+                return
+            cs = corners[sel][:, t_idx]                     # (S, 4, 3)
+            ti = t_in[sel]                                  # (S, 4)
+            order = np.argsort(~ti, axis=1)                 # inside first
+            cs_sorted = np.take_along_axis(cs, order[..., None], axis=1)
+            k = inside_k
+            if k == 1:
+                a = cs_sorted[:, 0]
+                tri = np.stack([np.stack([a, cs_sorted[:, 1 + j]], 1)
+                                for j in range(3)], 1)      # (S,3,2,3)
+                tri_edges.append(tri)
+            elif k == 3:
+                d = cs_sorted[:, 3]
+                tri = np.stack([np.stack([cs_sorted[:, j], d], 1)
+                                for j in range(3)], 1)
+                tri_edges.append(tri)
+            else:  # 2-2: quad from edges (a,c),(a,d),(b,c),(b,d)
+                a, b = cs_sorted[:, 0], cs_sorted[:, 1]
+                c, d = cs_sorted[:, 2], cs_sorted[:, 3]
+                e0 = np.stack([a, c], 1)
+                e1 = np.stack([a, d], 1)
+                e2 = np.stack([b, c], 1)
+                e3 = np.stack([b, d], 1)
+                tri_edges.append(np.stack([e0, e1, e2], 1))
+                tri_edges.append(np.stack([e1, e3, e2], 1))
+
+        pairs(n_in == 1, 1, 3)
+        pairs(n_in == 3, 3, 1)
+        pairs(n_in == 2, 2, 2)
+
+    if not tri_edges:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    E = np.concatenate([t.reshape(-1, 2, 3) for t in tri_edges], 0)
+
+    # canonicalize edge keys and deduplicate
+    p0 = E[:, 0]
+    p1 = E[:, 1]
+    swap = (p0[:, 0] * nx * ny + p0[:, 1] * nz + p0[:, 2]
+            > p1[:, 0] * nx * ny + p1[:, 1] * nz + p1[:, 2])
+    a = np.where(swap[:, None], p1, p0)
+    b = np.where(swap[:, None], p0, p1)
+    key = ((a[:, 0].astype(np.int64) * ny + a[:, 1]) * nz + a[:, 2]) \
+        * (nx * ny * nz) \
+        + (b[:, 0].astype(np.int64) * ny + b[:, 1]) * nz + b[:, 2]
+    uniq, inv = np.unique(key, return_inverse=True)
+    first = np.zeros(len(uniq), np.int64)
+    first[inv[::-1]] = np.arange(len(inv))[::-1]
+    ua = a[first]
+    ub = b[first]
+    va = v[ua[:, 0], ua[:, 1], ua[:, 2]]
+    vb = v[ub[:, 0], ub[:, 1], ub[:, 2]]
+    t = np.clip((level - va) / (vb - va), 0.0, 1.0)
+    verts = ua + t[:, None] * (ub - ua)
+    faces = inv.reshape(-1, 3)
+    return verts.astype(np.float32), faces.astype(np.int64)
 
 
 def save_mesh_ply(path, verts, faces):
