@@ -3,7 +3,16 @@
 
 Runs the full SLAM pipeline (oracle tracking targets — no pretrained
 droid.pth ships in this environment) on the procedural Synthetic scene at
-Replica-smoke-like settings and reports end-to-end frames per second.
+Replica-smoke-like settings (240×320) and reports end-to-end frames/s.
+
+Robustness contract (round-1 failure was rc=124 with NO output at all):
+  * a partial JSON line is printed after every frame, so a timeout still
+    leaves a parsable result;
+  * SIGTERM/SIGINT/SIGALRM print the latest partial line and exit 0;
+  * compile time is reported separately from steady state: the first
+    `BENCH_WARM` frames' wall time is attributed to warmup (JIT compiles /
+    persistent-cache loads), and `steady_fps` excludes it. The headline
+    `value` stays the honest total-wall-clock FPS.
 
 `vs_baseline` is value / 3.0: the north-star is ≥2× the CUDA reference
 (BASELINE.md), and the reference class of systems runs ~1.5 FPS on
@@ -14,41 +23,104 @@ BASELINE.json `published` is empty.)
 
 import json
 import os
+import signal
 import sys
 import time
 
+BASELINE_FPS = 3.0
+
+state = {
+    "t0": None,            # loop start
+    "t_warm_end": None,    # end of warmup frames
+    "frames": 0,
+    "n_frames": 0,
+    "warm_frames": 0,
+    "done": False,
+}
+
+
+def result_line(partial):
+    now = time.time()
+    wall = max(now - state["t0"], 1e-9) if state["t0"] else 0.0
+    f = state["frames"]
+    fps = f / wall if wall > 0 else 0.0
+    out = {
+        "metric": "e2e_fps_synthetic_oracle",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "partial": partial,
+        "frames": f,
+        "wall_s": round(wall, 2),
+    }
+    if state["t_warm_end"] is not None and f > state["warm_frames"]:
+        steady_wall = now - state["t_warm_end"]
+        steady_f = f - state["warm_frames"]
+        out["steady_fps"] = round(steady_f / max(steady_wall, 1e-9), 4)
+        out["warmup_s"] = round(state["t_warm_end"] - state["t0"], 2)
+    return out
+
+
+def emit(partial=True):
+    print(json.dumps(result_line(partial)), flush=True)
+
+
+def _bail(signum, frame):
+    emit(partial=True)
+    os._exit(0)
+
 
 def main():
-    t_setup = time.time()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _bail)
+
     from splatslam_tpu.config import load_config
     from splatslam_tpu.slam import SLAM
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    warm = int(os.environ.get("BENCH_WARM", "16"))
     cfg = load_config("configs/Synthetic/smoke_oracle.yaml",
                       "configs/splat_slam.yaml")
     cfg["verbose"] = False
     cfg["max_frames"] = n_frames
     cfg["synthetic"]["n_frames"] = n_frames
     cfg["data"]["output"] = os.environ.get("BENCH_OUT", "/tmp/bench_out")
-    cfg["mapping"]["final_refine_iters"] = 100
+    cfg["mapping"]["final_refine_iters"] = int(
+        os.environ.get("BENCH_REFINE", "128"))
     cfg["eval_full_traj"] = False
 
+    t_setup = time.time()
     slam = SLAM(cfg)
+    print(json.dumps({"event": "setup_done",
+                      "setup_s": round(time.time() - t_setup, 2)}),
+          file=sys.stderr, flush=True)
 
-    # warm the compile caches on a couple of frames' worth of kernels so the
-    # steady-state FPS is measured, then time the full run
-    t0 = time.time()
-    slam.run()
-    dt = time.time() - t0
+    state["n_frames"] = n_frames
+    state["warm_frames"] = min(warm, n_frames)
+    state["t0"] = time.time()
 
-    fps = n_frames / dt
-    result = {
-        "metric": "e2e_fps_synthetic_oracle",
+    def on_frame(i, timestamp, kf_idx):
+        state["frames"] = i + 1
+        if state["frames"] == state["warm_frames"]:
+            state["t_warm_end"] = time.time()
+        emit(partial=True)
+
+    t_loop = time.time()
+    slam.run(on_frame=on_frame)
+    t_done = time.time()
+
+    # final honest number: frames / (loop + terminate) wall
+    wall = t_done - t_loop
+    fps = n_frames / wall
+    out = result_line(partial=False)
+    out.update({
         "value": round(fps, 4),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 3.0, 4),
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "partial": False,
+        "wall_s": round(wall, 2),
+        "phases": slam.timers.as_dict(),
+    })
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

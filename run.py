@@ -24,6 +24,9 @@ def main():
                         help="run tracking without mapping")
     parser.add_argument("--device", type=str, default=None,
                         help="JAX platform override (cpu/tpu)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace to DIR and print "
+                             "per-phase wall timers")
     args = parser.parse_args()
 
     if args.device:
@@ -37,6 +40,12 @@ def main():
     setup_seed(cfg.get("setup_seed", 43))
     if args.only_tracking:
         cfg["only_tracking"] = True
+        # reference forces online mono prediction in tracking-only mode
+        # (run.py:46-48)
+        cfg.setdefault("mono_prior", {})["predict_online"] = True
+    if args.profile:
+        cfg.setdefault("profiling", {})["trace_dir"] = args.profile
+        cfg["profiling"]["timers"] = True
 
     out_dir = os.path.join(cfg["data"]["output"],
                            str(cfg.get("scene", "scene")))

@@ -14,7 +14,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import lie
-from .losses import compute_grad_mask
+
+# NOTE: the reference Camera also computes a Scharr `grad_mask`
+# (camera_utils.py:114-137), but nothing in Splat-SLAM consumes it — it
+# feeds only MonoGS's tracking loss (slam_utils.py get_loss_tracking_rgb,
+# marked "Not used" upstream). We therefore don't compute it.
 
 
 @dataclasses.dataclass
@@ -26,7 +30,6 @@ class Camera:
     w2c_gt: jnp.ndarray           # (4, 4) from the tracker ("gt" slot in ref)
     exposure_a: float = 0.0
     exposure_b: float = 0.0
-    grad_mask: jnp.ndarray | None = None
 
     @property
     def R(self):
@@ -46,13 +49,7 @@ class Camera:
         dT = lie.to_matrix(lie.exp(jnp.asarray(tau)))
         self.w2c = dT @ self.w2c
 
-    def compute_grad_mask(self, edge_threshold):
-        self.grad_mask = compute_grad_mask(self.image, edge_threshold)
-
-
-def make_camera(uid, image, depth, w2c, edge_threshold=4.0):
-    cam = Camera(uid=uid, image=jnp.asarray(image),
-                 depth=np.asarray(depth) if depth is not None else None,
-                 w2c=jnp.asarray(w2c), w2c_gt=jnp.asarray(w2c))
-    cam.compute_grad_mask(edge_threshold)
-    return cam
+def make_camera(uid, image, depth, w2c):
+    return Camera(uid=uid, image=jnp.asarray(image),
+                  depth=np.asarray(depth) if depth is not None else None,
+                  w2c=jnp.asarray(w2c), w2c_gt=jnp.asarray(w2c))

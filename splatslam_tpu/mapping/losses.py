@@ -83,21 +83,6 @@ def image_gradient_mask(image, eps=0.01):
     return full, full
 
 
-def compute_grad_mask(image, edge_threshold=4.0, rows=32, cols=32):
-    """Block-median thresholded gradient-intensity mask
-    (camera_utils.py:114-137)."""
-    gv, gh = image_gradient(image)
-    mv, mh = image_gradient_mask(image)
-    intensity = jnp.sqrt((gv * mv) ** 2 + (gh * mh) ** 2)
-    H, W = intensity.shape
-    bh, bw = H // rows, W // cols
-    blk = intensity[: rows * bh, : cols * bw].reshape(rows, bh, cols, bw)
-    med = jnp.median(blk.reshape(rows, 1, cols, 1, -1), axis=-1)
-    out = (blk > med * edge_threshold).astype(jnp.float32)
-    out = out.reshape(rows * bh, cols * bw)
-    return jnp.pad(out, ((0, H - rows * bh), (0, W - cols * bw)))
-
-
 def mapping_loss(image, depth, gt_image, gt_depth, alpha=0.8,
                  rgb_boundary_threshold=0.01, use_ssim=False,
                  lambda_dssim=0.2):

@@ -38,20 +38,34 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "opt_poses"))
-def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
-             exposure, use_exposure, cam_valid, intrinsics, lrs, step,
+def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
+             depths, exposure, use_exposure, cam_valid, opt_pose_mask,
+             intrinsics, lrs, cam_lrs, step, iso_weight,
              *, H: int, W: int, K: int, use_ssim: bool, alpha: float,
              opt_poses: bool = False):
     """One mapping iteration over a stacked camera batch.
 
     st: Gaussian state; exp_state: (m, v) adam moments for exposure (B,2);
+    tau_state: (m, v) adam moments for pose deltas (B,6);
     w2cs (B,4,4); images (B,H,W,3); depths (B,H,W); exposure (B,2);
     use_exposure (B,) bool (first mapped kf is the exposure reference);
+    opt_pose_mask (B,) bool — cameras whose pose is optimized (first
+    `pose_window` window frames, uid≠0 — reference mapper.py:1067-1095);
     lrs: dict of per-group learning rates (xyz already scheduled);
-    step: global iteration count (adam bias correction).
+    cam_lrs: (lr_trans, lr_rot) traced scalars (reference multiplies the
+    config lrs by 0.5, mapper.py:1080-1090);
+    step: global iteration count (adam bias correction);
+    iso_weight: isotropic regularizer weight (10.0 in map/init —
+    mapper.py:487-489 — and 0.0 in final_refine, which has no such term,
+    mapper.py:656-710).
 
-    Returns (st', exp_state', exposure', radii (B,C), n_touched (B,C),
-             loss).
+    Pose handling matches monogs update_pose (pose_utils.py:81-98): the
+    render always happens at tau=0 (deltas were retracted into w2c at the
+    end of the previous iteration), the Adam step produces a new tau, and
+    w2c ← exp(tau) ∘ w2c with tau reset to zero — all inside this program.
+
+    Returns (st', exp_state', tau_state', w2cs', exposure',
+             radii (B,C), n_touched (B,C), loss).
     """
     Bc = w2cs.shape[0]
     C = st.xyz.shape[0]
@@ -60,18 +74,19 @@ def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
     params = dict(xyz=st.xyz, f_dc=st.f_dc, f_rest=st.f_rest,
                   opacity=st.opacity, scaling=st.scaling,
                   rotation=st.rotation)
+    taus = jnp.zeros((Bc, 6))
 
-    def loss_fn(params, exposure, dummy):
+    def loss_fn(params, exposure, taus, dummy):
         opac = jax.nn.sigmoid(params["opacity"])[:, 0]
         scal = jnp.exp(params["scaling"])
         cols = jnp.clip(G.sh_to_rgb(params["f_dc"]), 0.0, None)
 
         def per_cam(carry, args):
             total = carry
-            w2c, img, dep, expo, use_exp, cv, dmy = args
+            w2c, img, dep, expo, use_exp, cv, tau, dmy = args
             out = rz.rasterize(
                 params["xyz"], scal, params["rotation"], opac, cols,
-                st.alive, w2c, jnp.zeros(6), intrinsics, bg,
+                st.alive, w2c, tau, intrinsics, bg,
                 means2d_dummy=dmy, H=H, W=W, K=K)
             image_ab = jnp.where(
                 use_exp, jnp.exp(expo[0]) * out.color + expo[1], out.color)
@@ -83,19 +98,24 @@ def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
         total, (radii, n_touched) = jax.lax.scan(
             jax.checkpoint(per_cam), 0.0,
             (w2cs, images, depths, exposure, use_exposure, cam_valid,
-             dummy))
+             taus, dummy))
 
         # isotropic scale regularizer (mapper.py:487-489)
         iso = jnp.abs(scal - scal.mean(-1, keepdims=True))
         iso = jnp.where(st.alive[:, None], iso, 0.0)
-        total = total + 10.0 * iso.sum() / jnp.clip(
+        total = total + iso_weight * iso.sum() / jnp.clip(
             3 * st.alive.sum(), 1)
         return total, (radii, n_touched)
 
     dummy = jnp.zeros((Bc, C, 2))
+    argnums = (0, 1, 2, 3) if opt_poses else (0, 1, 3)
     (loss, (radii, n_touched)), grads = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, exposure, dummy)
-    g_params, g_expo, g_dummy = grads
+        loss_fn, argnums=argnums, has_aux=True)(params, exposure, taus,
+                                                dummy)
+    if opt_poses:
+        g_params, g_expo, g_tau, g_dummy = grads
+    else:
+        g_params, g_expo, g_dummy = grads
 
     # densification statistics: per-camera screen-space gradient norms
     # accumulated over visible gaussians (mapper.py:522-529)
@@ -110,22 +130,46 @@ def map_step(st: G.GaussianState, exp_state, w2cs, images, depths,
 
     st = G.adam_step(st, g_params, lrs, step)
 
+    t = step.astype(jnp.float32)
+
     # exposure Adam (lr 0.01, torch defaults — mapper.py:1097-1110)
     m, v = exp_state
     ge = g_expo * (use_exposure & cam_valid)[:, None]
     m = 0.9 * m + 0.1 * ge
     v = 0.999 * v + 0.001 * ge * ge
-    t = step.astype(jnp.float32)
     upd = 0.01 * (m / (1 - 0.9 ** t)) / (jnp.sqrt(v / (1 - 0.999 ** t)) + 1e-8)
     exposure = exposure - upd
-    return st, (m, v), exposure, radii, n_touched, loss
+
+    if opt_poses:
+        # camera pose Adam + retraction (mapper.py:561-568, 1067-1095;
+        # pose_utils.py:81-98). tau layout = [trans, rot] like
+        # update_pose's cat([cam_trans_delta, cam_rot_delta]).
+        pm = (opt_pose_mask & cam_valid)[:, None]
+        tm, tv = tau_state
+        gt_ = g_tau * pm
+        tm = 0.9 * tm + 0.1 * gt_
+        tv = 0.999 * tv + 0.001 * gt_ * gt_
+        lr_vec = jnp.concatenate([
+            jnp.broadcast_to(cam_lrs[0], (3,)),
+            jnp.broadcast_to(cam_lrs[1], (3,))])
+        upd_tau = lr_vec * (tm / (1 - 0.9 ** t)) / (
+            jnp.sqrt(tv / (1 - 0.999 ** t)) + 1e-8)
+        new_tau = jnp.where(pm, -upd_tau, 0.0)
+        dT = jax.vmap(lambda tt: lie.to_matrix(lie.exp(tt)))(new_tau)
+        w2cs = jnp.where(pm[:, :, None], dT @ w2cs, w2cs)
+        tau_state = (tm, tv)
+
+    return (st, (m, v), tau_state, w2cs, exposure, radii, n_touched,
+            loss)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "lr_sched"))
-def map_step_n(st: G.GaussianState, exp_state, w2cs, images, depths,
-               exposure, use_exposure, cam_valid, intrinsics, lr_scalars,
-               step0, n_iters, *, H: int, W: int, K: int, use_ssim: bool,
-               alpha: float, lr_sched=None):
+@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "lr_sched",
+                                   "opt_poses"))
+def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
+               depths, exposure, use_exposure, cam_valid, opt_pose_mask,
+               intrinsics, lr_scalars, cam_lrs, step0, n_iters, iso_weight,
+               *, H: int, W: int, K: int, use_ssim: bool,
+               alpha: float, lr_sched=None, opt_poses: bool = False):
     """`n_iters` mapping iterations in ONE device program.
 
     The per-dispatch host↔device round trip dominates wall-clock when the
@@ -137,21 +181,24 @@ def map_step_n(st: G.GaussianState, exp_state, w2cs, images, depths,
     lrs_fixed = lr_scalars
 
     def body(i, carry):
-        st, exp_state, exposure, radii, n_touched, loss = carry
+        (st, exp_state, tau_state, w2cs, exposure, radii, n_touched,
+         loss) = carry
         step = step0 + i
         if lr_sched is not None:
             xyz_lr = G.xyz_lr(step.astype(jnp.float32), *lr_sched)
         else:
             xyz_lr = lrs_fixed["xyz"]
         lrs = dict(lrs_fixed, xyz=xyz_lr)
-        st, exp_state, exposure, radii, n_touched, loss = map_step(
-            st, exp_state, w2cs, images, depths, exposure, use_exposure,
-            cam_valid, intrinsics, lrs, step + 1,
-            H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha)
-        return st, exp_state, exposure, radii, n_touched, loss
+        return map_step(
+            st, exp_state, tau_state, w2cs, images, depths, exposure,
+            use_exposure, cam_valid, opt_pose_mask, intrinsics, lrs,
+            cam_lrs, step + 1, iso_weight,
+            H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha,
+            opt_poses=opt_poses)
 
     Bc, C = w2cs.shape[0], st.xyz.shape[0]
-    init = (st, exp_state, jnp.asarray(exposure),
+    init = (st, exp_state, tau_state, jnp.asarray(w2cs),
+            jnp.asarray(exposure),
             jnp.zeros((Bc, C)), jnp.zeros((Bc, C), jnp.int32),
             jnp.asarray(0.0))
     # traced n_iters: ONE compiled program serves every segment length
@@ -250,6 +297,12 @@ class Mapper:
         self.size_threshold = tr["size_threshold"]
         self.window_size = tr["window_size"]
         self.pose_window = tr["pose_window"]
+        # in-mapper camera-pose optimization is gated exactly like the
+        # reference: mapping.BA and not gt_camera (mapper.py:1076-1095)
+        self.opt_poses_enabled = bool(m.get("BA", False)
+                                      and not tr.get("gt_camera", False))
+        self.lr_cam_rot = tr["lr"]["cam_rot_delta"]
+        self.lr_cam_trans = tr["lr"]["cam_trans_delta"]
         self.edge_threshold = tr["edge_threshold"]
         self.kf_translation = tr["kf_translation"]
         self.kf_min_translation = tr["kf_min_translation"]
@@ -285,6 +338,7 @@ class Mapper:
         self.keyframe_idxs: list[int] = []
         self.video_idxs: list[int] = []
         self.exp_ab: dict[int, np.ndarray] = {}
+        self.exp_mv: dict[int, np.ndarray] = {}  # exposure Adam moments
         self.rng = jax.random.PRNGKey(cfg.get("setup_seed", 43))
         self.initialized = False
         self.first_mapped_uid = None
@@ -389,17 +443,46 @@ class Mapper:
         valid = jnp.asarray([True] * n + [False] * pad)
         return w2cs, imgs, deps, expo, use_exp, valid
 
-    def _run_iters(self, cams, iters, densify_cfg=None, store_expo=True):
+    def _run_iters(self, cams, iters, densify_cfg=None, store_expo=True,
+                   opt_poses=False, n_window=0, iso_weight=10.0,
+                   persist_exp_state=False, refine=False):
         """Shared optimization loop: map/initialize_map/final_refine core.
 
         Iterations run fused on device (map_step_n); the loop only returns
         to the host at densify/reset boundaries, so a 60-iteration window
-        optimization is 1-2 dispatches instead of 60."""
+        optimization is 1-2 dispatches instead of 60.
+
+        opt_poses: optimize camera pose deltas for the first
+        min(pose_window, n_window) cameras (uid 0 excluded), retracting
+        each iteration (reference mapper.py:561-568, 1067-1095).
+        persist_exp_state: carry per-camera exposure Adam moments across
+        calls (final_refine keeps ONE optimizer for the whole refinement,
+        mapper.py:652-707; per-keyframe map() rebuilds it, :1067-1111).
+        refine: no xyz lr schedule restart semantics change; geometry
+        groups still train (the reference's final_refine steps the FULL
+        gaussian optimizer, mapper.py:700-707).
+        """
         if not cams:
             return None
         w2cs, imgs, deps, expo, use_exp, valid = self._stack_cams(cams)
-        exp_m = jnp.zeros_like(expo)
-        exp_v = jnp.zeros_like(expo)
+        B = w2cs.shape[0]
+        if persist_exp_state:
+            mv = [self.exp_mv.get(c.uid, np.zeros((2, 2))) for c in cams]
+            mv += [np.zeros((2, 2))] * (B - len(cams))
+            mv = np.asarray(mv, np.float32)
+            exp_m = jnp.asarray(mv[:, 0])
+            exp_v = jnp.asarray(mv[:, 1])
+        else:
+            exp_m = jnp.zeros_like(expo)
+            exp_v = jnp.zeros_like(expo)
+        tau_m = jnp.zeros((B, 6))
+        tau_v = jnp.zeros((B, 6))
+        n_opt = min(self.pose_window, n_window) if opt_poses else 0
+        pose_mask = jnp.asarray(
+            [i < n_opt and cams[i].uid != 0 for i in range(len(cams))]
+            + [False] * (B - len(cams)))
+        cam_lrs = (jnp.asarray(0.5 * self.lr_cam_trans),
+                   jnp.asarray(0.5 * self.lr_cam_rot))
         last = None
 
         lr_sched = (self.opt["position_lr_init"] * self.spatial_lr_scale,
@@ -418,8 +501,14 @@ class Mapper:
             if densify_cfg is None:
                 return False
             d = densify_cfg
-            return (it % d["update_every"] == d["update_offset"]
-                    or it in d.get("reset_at", ()))
+            if d.get("update_every") and \
+                    it % d["update_every"] == d.get("update_offset", 0):
+                return True
+            if it in d.get("reset_at", ()):
+                return True
+            if d.get("reset_every") and it % d["reset_every"] == 0:
+                return True
+            return False
 
         done = 0
         while done < iters:
@@ -429,33 +518,54 @@ class Mapper:
                    and not host_events(self.iteration_count + seg)):
                 seg += 1
             seg_b = seg
-            (self.st, (exp_m, exp_v), expo, radii, n_touched,
-             loss) = map_step_n(
-                self.st, (exp_m, exp_v), w2cs, imgs, deps, expo, use_exp,
-                valid, self.intrinsics, lrs_fixed,
+            (self.st, (exp_m, exp_v), (tau_m, tau_v), w2cs, expo, radii,
+             n_touched, loss) = map_step_n(
+                self.st, (exp_m, exp_v), (tau_m, tau_v), w2cs, imgs, deps,
+                expo, use_exp, valid, pose_mask, self.intrinsics,
+                lrs_fixed, cam_lrs,
                 jnp.asarray(self.iteration_count), jnp.asarray(seg_b),
+                jnp.asarray(iso_weight),
                 H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
-                alpha=self.alpha, lr_sched=lr_sched)
+                alpha=self.alpha, lr_sched=lr_sched, opt_poses=opt_poses)
             self.iteration_count += seg_b
             done += seg_b
             last = (radii, n_touched, loss)
             if densify_cfg is not None:
-                self._maybe_densify(**densify_cfg)
+                self._handle_host_events(densify_cfg, n_touched)
         if store_expo:
             expo_np = np.asarray(expo)
             for i, c in enumerate(cams):
                 self.exp_ab[c.uid] = expo_np[i]
+        if persist_exp_state:
+            m_np, v_np = np.asarray(exp_m), np.asarray(exp_v)
+            for i, c in enumerate(cams):
+                self.exp_mv[c.uid] = np.stack([m_np[i], v_np[i]])
+        if opt_poses and n_opt:
+            w2cs_np = np.asarray(w2cs)
+            mask_np = np.asarray(pose_mask)
+            for i, c in enumerate(cams):
+                if mask_np[i]:
+                    c.w2c = jnp.asarray(w2cs_np[i])
         return last
 
-    def _maybe_densify(self, update_every, update_offset, th, extent,
-                       size_threshold, reset_at=()):
+    def _handle_host_events(self, d, n_touched):
+        """Densify/prune + opacity resets at gate iterations (the `elif`
+        structure matches mapper.py:531-556)."""
         it = self.iteration_count
-        if it % update_every == update_offset:
+        update = (d.get("update_every")
+                  and it % d["update_every"] == d.get("update_offset", 0))
+        if update:
             self.rng, sub = jax.random.split(self.rng)
             self.st = G.densify_and_prune(
-                self.st, sub, self.opt["densify_grad_threshold"], th,
-                extent, size_threshold, self.percent_dense)
-        if it in reset_at:
+                self.st, sub, self.opt["densify_grad_threshold"], d["th"],
+                d["extent"], d["size_threshold"], self.percent_dense)
+        elif d.get("reset_every") and it % d["reset_every"] == 0:
+            # reset the opacity of gaussians not visible in the current
+            # window (mapper.py:548-556)
+            vis_any = np.asarray(n_touched[:d["n_window"]] > 0).any(0)
+            self.st = G.reset_opacity_nonvisible(self.st,
+                                                 jnp.asarray(vis_any))
+        if it in d.get("reset_at", ()):
             self.st = G.reset_opacity(self.st)
 
     def initialize_map(self, video_idx, cam: Camera):
@@ -474,7 +584,13 @@ class Mapper:
         return out
 
     def map(self, window, prune=False, iters=1):
-        """Window optimization (mapper.py:400-614)."""
+        """Window optimization (mapper.py:400-614).
+
+        All `iters` iterations run fused on device; the loop surfaces to
+        the host only at densify/reset gates. Like the reference, the two
+        extra random past keyframes are drawn once per map() call
+        (mapper.py:404-420 builds the stacks before the iteration loop).
+        """
         if len(window) == 0:
             return
         cams = [self.viewpoints[k] for k in window]
@@ -485,44 +601,44 @@ class Mapper:
                 jax.random.permutation(sub, len(others)))[:2]
             cams = cams + [others[int(i)] for i in pick]
 
-        for _ in range(iters):
+        if prune:
             out = self._run_iters(cams, 1)
-            radii, n_touched, _ = out
-            self.occ_aware_visibility = {}
-            for i, k in enumerate(window):
-                self.occ_aware_visibility[k] = np.asarray(n_touched[i] > 0)
+            _, n_touched, _ = out
+            self.occ_aware_visibility = {
+                k: np.asarray(n_touched[i] > 0)
+                for i, k in enumerate(window)}
+            if len(window) == self.window_size:
+                n_obs = jnp.zeros(self.st.xyz.shape[0], jnp.int32)
+                for k, vis in self.occ_aware_visibility.items():
+                    n_obs = n_obs + jnp.asarray(vis, jnp.int32)
+                if self.prune_mode == "slam":
+                    sorted_w = sorted(window, reverse=True)
+                    mask = self.st.kf_id >= sorted_w[2]
+                    to_prune = (n_obs <= 3) & mask & self.st.alive
+                    self.st = G.prune_by_mask(self.st, to_prune)
+            return False
 
-            if prune:
-                if len(window) == self.window_size:
-                    n_obs = jnp.zeros(self.st.xyz.shape[0], jnp.int32)
-                    for k, vis in self.occ_aware_visibility.items():
-                        n_obs = n_obs + jnp.asarray(vis, jnp.int32)
-                    if self.prune_mode == "slam":
-                        sorted_w = sorted(window, reverse=True)
-                        mask = self.st.kf_id >= sorted_w[2]
-                        to_prune = (n_obs <= 3) & mask & self.st.alive
-                        self.st = G.prune_by_mask(self.st, to_prune)
-                return False
-
-            update = (self.iteration_count % self.gaussian_update_every
-                      == self.gaussian_update_offset)
-            if update:
-                self.rng, sub = jax.random.split(self.rng)
-                self.st = G.densify_and_prune(
-                    self.st, sub, self.opt["densify_grad_threshold"],
-                    self.gaussian_th, self.gaussian_extent,
-                    self.size_threshold, self.percent_dense)
-            elif self.iteration_count % self.gaussian_reset == 0:
-                vis_any = jnp.zeros(self.st.xyz.shape[0], bool)
-                for k in window:
-                    vis_any = vis_any | jnp.asarray(
-                        self.occ_aware_visibility[k])
-                self.st = G.reset_opacity_nonvisible(self.st, vis_any)
+        out = self._run_iters(
+            cams, iters,
+            densify_cfg=dict(update_every=self.gaussian_update_every,
+                             update_offset=self.gaussian_update_offset,
+                             th=self.gaussian_th,
+                             extent=self.gaussian_extent,
+                             size_threshold=self.size_threshold,
+                             reset_every=self.gaussian_reset,
+                             n_window=len(window)),
+            opt_poses=self.opt_poses_enabled, n_window=len(window))
+        _, n_touched, _ = out
+        self.occ_aware_visibility = {
+            k: np.asarray(n_touched[i] > 0) for i, k in enumerate(window)}
         return True
 
     def final_refine(self, iters=26000):
-        """Color-only global refinement (mapper.py:617-710): re-fuse
-        depth/poses, deform once more, then optimize on random frames."""
+        """Global refinement (mapper.py:617-710): re-fuse depth/poses,
+        deform once more, then optimize ALL Gaussian params + exposure on
+        random frames (the reference steps the full gaussian optimizer,
+        mapper.py:700-707; its loss has no isotropic term and it never
+        densifies)."""
         for video_idx, frame_idx in zip(self.video_idxs, self.keyframe_idxs):
             mono = self.mono_loader(frame_idx)
             depth, w2c, invalid = self.get_w2c_and_depth(
@@ -545,12 +661,19 @@ class Mapper:
 
         vps = list(self.viewpoints.values())
         rng = np.random.RandomState(0)
-        # batch random single-frame iterations (mapper.py:656-708) in small
-        # groups so the jitted step shape stays fixed
+        # The reference runs `iters` single-random-frame optimizer steps
+        # (mapper.py:656-708). Here each device dispatch runs S fused
+        # steps over a batch of B random frames — B·S reference-equivalent
+        # steps per dispatch — trading exact single-frame sampling for a
+        # ~B·S× cut in dispatch count.
         B = min(4, len(vps))
-        for _ in range(max(iters // max(B, 1), 1)):
+        S = 8
+        done = 0
+        while done < iters:
             pick = rng.randint(0, len(vps), size=B)
-            self._run_iters([vps[i] for i in pick], 1)
+            self._run_iters([vps[i] for i in pick], S, iso_weight=0.0,
+                            persist_exp_state=True)
+            done += B * S
 
     # -- keyframe management (mapper.py:744-831) -----------------------------
 
@@ -613,7 +736,7 @@ class Mapper:
 
         depth, w2c, invalid = self.get_w2c_and_depth(video_idx, frame_idx,
                                                      mono)
-        cam = make_camera(video_idx, color, depth, w2c, self.edge_threshold)
+        cam = make_camera(video_idx, color, depth, w2c)
         self.cameras[video_idx] = cam
         if invalid:
             self.is_kf[video_idx] = False

@@ -37,3 +37,18 @@ def cvx_upsample(data: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def upsample_disp(disp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """disp (B, H, W); mask (B, H, W, 576) → (B, 8H, 8W)."""
     return cvx_upsample(disp[..., None], mask)[..., 0]
+
+
+def upsample_disp_uniform(disp: jnp.ndarray) -> jnp.ndarray:
+    """Zero-mask cvx_upsample, computed directly: softmax(0) over the 9
+    neighbors is uniform, so every 8×8 sub-pixel gets the 3×3 neighborhood
+    mean. Used by the oracle tracking path — mathematically identical to
+    `upsample_disp(disp, zeros(576))` but without materializing (and
+    compile-time constant-folding) a 576-channel zero mask, which cost
+    >10 s of XLA constant folding per compiled program."""
+    B, H, W = disp.shape
+    padded = jnp.pad(disp, ((0, 0), (1, 1), (1, 1)))
+    neigh = sum(padded[:, ky:ky + H, kx:kx + W]
+                for ky in range(3) for kx in range(3)) / 9.0
+    up = jnp.broadcast_to(neigh[:, :, None, :, None], (B, H, 8, W, 8))
+    return up.reshape(B, 8 * H, 8 * W)

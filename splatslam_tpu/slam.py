@@ -24,6 +24,7 @@ from .mapping import Mapper
 from .utils.printer import Printer, FontColor
 from .utils.eval_traj import kf_traj_eval, full_traj_eval
 from .utils.eval_render import eval_rendering
+from .utils.profiling import PhaseTimers, device_trace
 
 
 class SLAM:
@@ -64,43 +65,58 @@ class SLAM:
             "enable_online_ba"]
         self.every_kf = cfg["mapping"]["every_keyframe"]
         self.global_scale = 1.0
+        self.timers = PhaseTimers()
+        self.trace_dir = cfg.get("profiling", {}).get("trace_dir", None)
 
     # -- main loop (tracker.py:47-92 + mapper pipe protocol) ----------------
 
-    def run(self):
+    def run(self, on_frame=None):
+        """Main loop. on_frame(i, timestamp, kf_idx) is called after each
+        processed frame (used by bench.py for incremental timing)."""
         intrinsic = jnp.asarray(self.stream.get_intrinsic())
         oracle = self.cfg["tracking"].get("oracle", False)
         prev_kf_idx = 0
         prev_ba_idx = 0
         number_of_kf = 0
-        for i in range(len(self.stream)):
-            timestamp, image, gt_depth, gt_c2w = self.stream[i]
-            gt_pose = None
-            if oracle and gt_c2w is not None:
-                from .ops import lie
-                gt_pose = lie.from_matrix(
-                    jnp.linalg.inv(jnp.asarray(gt_c2w)))
-            self.motion_filter.track(
-                timestamp, jnp.asarray(image), intrinsic,
-                gt_pose=gt_pose,
-                gt_depth=gt_depth if oracle else None)
-            self.frontend()
-            curr_kf_idx = self.video.counter - 1
+        T = self.timers
+        with device_trace(self.trace_dir):
+            for i in range(len(self.stream)):
+                with T("data"):
+                    timestamp, image, gt_depth, gt_c2w = self.stream[i]
+                    gt_pose = None
+                    if oracle and gt_c2w is not None:
+                        from .ops import lie
+                        gt_pose = lie.from_matrix(
+                            jnp.linalg.inv(jnp.asarray(gt_c2w)))
+                with T("motion_filter"):
+                    self.motion_filter.track(
+                        timestamp, jnp.asarray(image), intrinsic,
+                        gt_pose=gt_pose,
+                        gt_depth=gt_depth if oracle else None)
+                with T("frontend"):
+                    self.frontend()
+                curr_kf_idx = self.video.counter - 1
 
-            if curr_kf_idx != prev_kf_idx and self.frontend.is_initialized:
-                number_of_kf += 1
-                if (self.enable_online_ba
-                        and curr_kf_idx >= prev_ba_idx + self.ba_freq):
-                    self.printer.print(
-                        f"Online BA at {curr_kf_idx}th keyframe, frame "
-                        f"{timestamp}", FontColor.TRACKER)
-                    self.online_ba.dense_ba(2)
-                    prev_ba_idx = curr_kf_idx
-                if self.mapper is not None and \
-                        number_of_kf % self.every_kf == 0:
-                    self.mapper.process_keyframe(int(timestamp), curr_kf_idx)
-            prev_kf_idx = curr_kf_idx
-            self.printer.update_pbar()
+                if curr_kf_idx != prev_kf_idx and \
+                        self.frontend.is_initialized:
+                    number_of_kf += 1
+                    if (self.enable_online_ba
+                            and curr_kf_idx >= prev_ba_idx + self.ba_freq):
+                        self.printer.print(
+                            f"Online BA at {curr_kf_idx}th keyframe, frame "
+                            f"{timestamp}", FontColor.TRACKER)
+                        with T("online_ba"):
+                            self.online_ba.dense_ba(2)
+                        prev_ba_idx = curr_kf_idx
+                    if self.mapper is not None and \
+                            number_of_kf % self.every_kf == 0:
+                        with T("mapping"):
+                            self.mapper.process_keyframe(int(timestamp),
+                                                         curr_kf_idx)
+                prev_kf_idx = curr_kf_idx
+                self.printer.update_pbar()
+                if on_frame is not None:
+                    on_frame(i, timestamp, curr_kf_idx)
 
         return self.terminate()
 
@@ -115,6 +131,7 @@ class SLAM:
         """Final BA → save → trajectory eval → refine → render eval
         (slam.py:130-244)."""
         cfg = self.cfg
+        T = self.timers
         # optional pre-final-BA evaluation (slam.py:133-164)
         if (cfg["tracking"]["backend"]["final_ba"]
                 and cfg["mapping"].get("eval_before_final_ba", False)
@@ -133,25 +150,31 @@ class SLAM:
                 self.printer.print(str(e), FontColor.ERROR)
 
         if cfg["tracking"]["backend"]["final_ba"]:
-            self.backend()
+            with T("final_ba"):
+                self.backend()
 
         npz = os.path.join(self.save_dir, "video.npz")
-        self.video.save_video(npz)
+        with T("save_video"):
+            self.video.save_video(npz)
         ate_stats, self.global_scale, r_a, t_a = None, 1.0, None, None
         try:
-            ate_stats, self.global_scale, r_a, t_a = kf_traj_eval(
-                npz, os.path.join(self.save_dir, "traj"), "kf_traj",
-                self.stream, self.printer)
+            with T("kf_traj_eval"):
+                ate_stats, self.global_scale, r_a, t_a = kf_traj_eval(
+                    npz, os.path.join(self.save_dir, "traj"), "kf_traj",
+                    self.stream, self.printer)
         except Exception as e:  # graceful like slam.py:175-176
             self.printer.print(str(e), FontColor.ERROR)
 
         if self.mapper is not None:
             if cfg["tracking"]["backend"]["final_ba"]:
-                self.mapper.final_refine(
-                    iters=cfg["mapping"]["final_refine_iters"])
-            eval_rendering(self.mapper, self.save_dir, self.stream,
-                           global_scale=self.global_scale,
-                           iteration="after_refine", printer=self.printer)
+                with T("final_refine"):
+                    self.mapper.final_refine(
+                        iters=cfg["mapping"]["final_refine_iters"])
+            with T("render_eval"):
+                eval_rendering(self.mapper, self.save_dir, self.stream,
+                               global_scale=self.global_scale,
+                               iteration="after_refine",
+                               printer=self.printer)
             if cfg.get("meshing", {}).get("mesh", False):
                 try:
                     from .utils.eval_render import eval_mesh
@@ -169,7 +192,9 @@ class SLAM:
 
         # proxy depth eval (slam.py:206-237)
         try:
-            d_l1, d_l1_4m, cover = self.video.eval_depth_l1(npz, self.stream)
+            with T("depth_eval"):
+                d_l1, d_l1_4m, cover = self.video.eval_depth_l1(
+                    npz, self.stream)
             with open(os.path.join(self.save_dir, "depth_stats.txt"),
                       "w") as f:
                 f.write(f"depth_l1: {d_l1}\n")
@@ -185,13 +210,17 @@ class SLAM:
 
         if cfg.get("eval_full_traj", True):
             try:
-                full_traj_eval(self.traj_filler,
-                               os.path.join(self.save_dir, "traj"),
-                               "full_traj", self.stream, self.printer)
+                with T("full_traj_eval"):
+                    full_traj_eval(self.traj_filler,
+                                   os.path.join(self.save_dir, "traj"),
+                                   "full_traj", self.stream, self.printer)
             except Exception as e:
                 self.printer.print(f"full traj eval failed: {e}",
                                    FontColor.ERROR)
 
         self.printer.print("Metrics Evaluation Done!", FontColor.EVAL)
+        if self.verbose or cfg.get("profiling", {}).get("timers", False):
+            self.printer.print("phase timing:\n" + self.timers.report(),
+                               FontColor.EVAL)
         self.printer.terminate()
         return ate_stats

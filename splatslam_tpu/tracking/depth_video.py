@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie, projective as pops, ba as ba_ops
-from ..ops.upsample import upsample_disp
+from ..ops.upsample import upsample_disp, upsample_disp_uniform
 
 # the CUDA kernels use 0.25 (droid_kernels.cu:26); python ops use 0.2
 CUDA_MIN_DEPTH = 0.25
@@ -191,6 +191,12 @@ def upsample_kernel(disps_sel, upmask):
 
 
 @jax.jit
+def upsample_uniform_kernel(disps_sel):
+    """8× zero-mask (uniform) upsampling — oracle path, no learned mask."""
+    return upsample_disp_uniform(disps_sel)
+
+
+@jax.jit
 def normalize_kernel(poses, disps, count_mask):
     """Rescale disparities to unit mean and scale translations to match
     (depth_video.py:160-167). count_mask: (B,) 1.0 for active frames."""
@@ -308,8 +314,12 @@ class DepthVideo:
         return d
 
     def upsample(self, ix, upmask):
+        """upmask=None → uniform (zero-mask) upsampling (oracle path)."""
         ix = jnp.asarray(np.asarray(ix).reshape(-1), jnp.int32)
-        up = upsample_kernel(self.state.disps[ix], upmask)
+        if upmask is None:
+            up = upsample_uniform_kernel(self.state.disps[ix])
+        else:
+            up = upsample_kernel(self.state.disps[ix], upmask)
         self.state.disps_up = self.state.disps_up.at[ix].set(up)
 
     def normalize(self):

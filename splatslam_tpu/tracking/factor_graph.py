@@ -128,7 +128,7 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     Per-keyframe damping lives in damping_maps (buffer-indexed);
     plan.kx rows index straight into it.
     """
-    from ..ops.upsample import upsample_disp
+    from ..ops.upsample import upsample_disp, upsample_disp_uniform
     from ..ops import lie
     from ..ops.ba import (_dba_iteration, _scale_shift_iteration,
                           align_scale_and_shift)
@@ -213,8 +213,7 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
             up = upsample_disp(disps[uniq_safe],
                                upmask[:uniq_act.shape[0]])
         else:
-            zero_mask = jnp.zeros((uniq_act.shape[0], h, w, 576))
-            up = upsample_disp(disps[uniq_safe], zero_mask)
+            up = upsample_disp_uniform(disps[uniq_safe])
         disps_up = disps_up.at[uniq_act].set(up, mode="drop")
 
     return (poses, disps, disps_up, net_out, target_all, weight_all,
@@ -467,8 +466,7 @@ class FactorGraph:
                       opt_type=opt_type)
         if self.upsample_flag:
             uniq = np.unique(self.ii)
-            zero_mask = jnp.zeros((len(uniq), self.h, self.w, 576))
-            self.video.upsample(uniq, zero_mask)
+            self.video.upsample(uniq, None)
         self.age += 1
 
     def update_rounds(self, opt_types, t0=None, t1=None, use_inactive=False,

@@ -153,11 +153,15 @@ def test_map_step_improves_rendering():
 
     losses = []
     exp_state = (jnp.zeros_like(expo), jnp.zeros_like(expo))
+    tau_state = (jnp.zeros((1, 6)), jnp.zeros((1, 6)))
+    cam_lrs = (jnp.asarray(5e-4), jnp.asarray(1.5e-3))
     for it in range(30):
-        st, exp_state, expo, radii, n_touched, loss = map_step(
-            st, exp_state, w2cs, imgs, deps, expo, use_exp,
-            jnp.ones((1,), bool), intr, lrs,
-            jnp.asarray(it + 1), H=H, W=W, K=64, use_ssim=False, alpha=0.8)
+        (st, exp_state, tau_state, w2cs, expo, radii, n_touched,
+         loss) = map_step(
+            st, exp_state, tau_state, w2cs, imgs, deps, expo, use_exp,
+            jnp.ones((1,), bool), jnp.zeros((1,), bool), intr, lrs,
+            cam_lrs, jnp.asarray(it + 1), jnp.asarray(10.0),
+            H=H, W=W, K=64, use_ssim=False, alpha=0.8)
         losses.append(float(loss))
     # 30 steps at reference learning rates: expect steady improvement
     assert losses[-1] < 0.9 * losses[0], (losses[0], losses[-1])
@@ -165,6 +169,61 @@ def test_map_step_improves_rendering():
     assert np.isfinite(losses).all()
     # densification stats accumulated
     assert float(st.denom.max()) > 0
+
+
+def test_map_step_pose_optimization_converges():
+    """A perturbed camera pose converges back under the rendering loss
+    (reference mapper.py:561-568, 1067-1095 + pose_utils.py:81-98)."""
+    from splatslam_tpu.ops import lie
+
+    rng = jax.random.PRNGKey(3)
+    st = G.make_state(256)
+    n = 128
+    pts = jnp.concatenate([jax.random.normal(rng, (n, 2)) * 1.2,
+                           2.0 + 1.5 * jax.random.uniform(rng, (n, 1))], -1)
+    new = dict(xyz=pts, color=jax.random.uniform(rng, (n, 3)),
+               scales=jnp.log(jnp.full((n, 3), 0.08)),
+               valid=jnp.ones(n, bool), count=jnp.asarray(n))
+    st = G.insert_points(st, new, 0)
+
+    H, W = 40, 56
+    intr = jnp.asarray([40.0, 40.0, 28.0, 20.0])
+    from splatslam_tpu.ops import rasterizer as rz
+    w2c_true = jnp.eye(4)
+    gt = rz.rasterize(st.xyz, G.get_scaling(st), st.rotation,
+                      G.get_opacity(st)[:, 0], G.get_colors_dc(st),
+                      st.alive, w2c_true, jnp.zeros(6), intr,
+                      jnp.zeros(3), H=H, W=W, K=64)
+
+    # perturb the pose
+    tau0 = jnp.asarray([0.02, -0.015, 0.01, 0.008, -0.006, 0.01])
+    w2c_pert = lie.to_matrix(lie.exp(tau0)) @ w2c_true
+
+    w2cs = w2c_pert[None]
+    imgs = gt.color[None]
+    deps = gt.depth[None]
+    expo = jnp.zeros((1, 2))
+    use_exp = jnp.zeros((1,), bool)
+    # freeze the map: only the pose should move
+    lrs = dict(xyz=0.0, f_dc=0.0, f_rest=0.0, opacity=0.0,
+               scaling=0.0, rotation=0.0)
+    cam_lrs = (jnp.asarray(0.5 * 0.001), jnp.asarray(0.5 * 0.003))
+
+    def err(w2c):
+        d = np.asarray(w2c @ jnp.linalg.inv(w2c_true)) - np.eye(4)
+        return float(np.abs(d).max())
+
+    e0 = err(w2cs[0])
+    exp_state = (jnp.zeros_like(expo), jnp.zeros_like(expo))
+    tau_state = (jnp.zeros((1, 6)), jnp.zeros((1, 6)))
+    for it in range(120):
+        (st, exp_state, tau_state, w2cs, expo, _, _, loss) = map_step(
+            st, exp_state, tau_state, w2cs, imgs, deps, expo, use_exp,
+            jnp.ones((1,), bool), jnp.ones((1,), bool), intr, lrs,
+            cam_lrs, jnp.asarray(it + 1), jnp.asarray(0.0),
+            H=H, W=W, K=64, use_ssim=False, alpha=0.8, opt_poses=True)
+    e1 = err(w2cs[0])
+    assert e1 < 0.35 * e0, (e0, e1)
 
 
 def test_deform_points_rigid():
