@@ -31,7 +31,11 @@ def enable_compilation_cache():
     os.makedirs(d, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: under the axon remote-compile tunnel even a
+        # trivial eager op costs a ~0.4 s compiler RPC (10 s on hiccups);
+        # a measured warm 12-frame bench spent 228 s recompiling 416 tiny
+        # programs that the 1.0 s threshold had excluded from the cache
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import lie, rasterizer as rz
+from ..ops import lie, rasterizer as rz, sh as sh_ops
 from ..ops.ba import align_scale_and_shift
 from . import gaussians as G
 from .camera import Camera, make_camera
@@ -37,12 +37,13 @@ def _round_up(x, m):
 # jitted optimization step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "opt_poses"))
+@partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "opt_poses",
+                                   "sh_degree"))
 def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
              depths, exposure, use_exposure, cam_valid, opt_pose_mask,
              intrinsics, lrs, cam_lrs, step, iso_weight,
              *, H: int, W: int, K: int, use_ssim: bool, alpha: float,
-             opt_poses: bool = False):
+             opt_poses: bool = False, sh_degree: int = 0):
     """One mapping iteration over a stacked camera batch.
 
     st: Gaussian state; exp_state: (m, v) adam moments for exposure (B,2);
@@ -84,8 +85,18 @@ def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
         def per_cam(carry, args):
             total = carry
             w2c, img, dep, expo, use_exp, cv, tau, dmy = args
+            if sh_degree > 0:
+                # view-dependent colors: SH evaluated toward this camera
+                # (gaussian_renderer/__init__.py:99-116; render happens at
+                # tau=0, so campos comes straight from w2c)
+                campos = -w2c[:3, :3].T @ w2c[:3, 3]
+                cols_c = sh_ops.sh_colors(sh_degree, params["f_dc"],
+                                          params["f_rest"],
+                                          params["xyz"], campos)
+            else:
+                cols_c = cols
             out = rz.rasterize(
-                params["xyz"], scal, params["rotation"], opac, cols,
+                params["xyz"], scal, params["rotation"], opac, cols_c,
                 st.alive, w2c, tau, intrinsics, bg,
                 means2d_dummy=dmy, H=H, W=W, K=K)
             image_ab = jnp.where(
@@ -164,12 +175,13 @@ def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
 
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "lr_sched",
-                                   "opt_poses"))
+                                   "opt_poses", "sh_degree"))
 def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
                depths, exposure, use_exposure, cam_valid, opt_pose_mask,
                intrinsics, lr_scalars, cam_lrs, step0, n_iters, iso_weight,
                *, H: int, W: int, K: int, use_ssim: bool,
-               alpha: float, lr_sched=None, opt_poses: bool = False):
+               alpha: float, lr_sched=None, opt_poses: bool = False,
+               sh_degree: int = 0):
     """`n_iters` mapping iterations in ONE device program.
 
     The per-dispatch host↔device round trip dominates wall-clock when the
@@ -194,7 +206,7 @@ def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
             use_exposure, cam_valid, opt_pose_mask, intrinsics, lrs,
             cam_lrs, step + 1, iso_weight,
             H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha,
-            opt_poses=opt_poses)
+            opt_poses=opt_poses, sh_degree=sh_degree)
 
     Bc, C = w2cs.shape[0], st.xyz.shape[0]
     init = (st, exp_state, tau_state, jnp.asarray(w2cs),
@@ -325,8 +337,11 @@ class Mapper:
         self.H = cfg["cam"]["H_out"]
         self.W = cfg["cam"]["W_out"]
         self.K = m.get("raster_K", 256)
+        # spherical_harmonics: True → sh_degree 3 (reference mapper.py:78-85)
+        self.sh_degree = 3 if tr.get("spherical_harmonics", False) \
+            else m["model_params"]["sh_degree"]
         cap = m.get("capacity", 1 << 17)
-        self.st = G.make_state(cap, sh_degree=m["model_params"]["sh_degree"])
+        self.st = G.make_state(cap, sh_degree=self.sh_degree)
 
         self.iteration_count = 0
         self.cameras: dict[int, Camera] = {}
@@ -401,9 +416,16 @@ class Mapper:
     # -- rendering ----------------------------------------------------------
 
     def render(self, cam: Camera):
+        if self.sh_degree > 0:
+            w2c = jnp.asarray(cam.w2c)
+            campos = -w2c[:3, :3].T @ w2c[:3, 3]
+            cols = sh_ops.sh_colors(self.sh_degree, self.st.f_dc,
+                                    self.st.f_rest, self.st.xyz, campos)
+        else:
+            cols = G.get_colors_dc(self.st)
         return rz.rasterize(
             self.st.xyz, G.get_scaling(self.st), self.st.rotation,
-            G.get_opacity(self.st)[:, 0], G.get_colors_dc(self.st),
+            G.get_opacity(self.st)[:, 0], cols,
             self.st.alive, cam.w2c, jnp.zeros(6), self.intrinsics,
             jnp.zeros(3), H=self.H, W=self.W, K=self.K)
 
@@ -526,7 +548,8 @@ class Mapper:
                 jnp.asarray(self.iteration_count), jnp.asarray(seg_b),
                 jnp.asarray(iso_weight),
                 H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
-                alpha=self.alpha, lr_sched=lr_sched, opt_poses=opt_poses)
+                alpha=self.alpha, lr_sched=lr_sched, opt_poses=opt_poses,
+                sh_degree=self.sh_degree)
             self.iteration_count += seg_b
             done += seg_b
             last = (radii, n_touched, loss)

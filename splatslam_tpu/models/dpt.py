@@ -30,42 +30,56 @@ from flax import linen as nn
 # ---------------------------------------------------------------------------
 
 class WSConv(nn.Conv):
-    """Conv with standardized weights (timm StdConv2dSame equivalent)."""
+    """Conv with standardized weights (timm StdConv2dSame equivalent:
+    per-output-channel standardization applied at forward time, so raw
+    checkpoint weights load directly)."""
 
     def param(self, name, init_fn, *args):
         p = super().param(name, init_fn, *args)
         if name == "kernel":
             mean = p.mean(axis=(0, 1, 2), keepdims=True)
             var = p.var(axis=(0, 1, 2), keepdims=True)
-            p = (p - mean) * jax.lax.rsqrt(var + 1e-8)
+            p = (p - mean) * jax.lax.rsqrt(var + 1e-6)
         return p
 
 
-def group_norm(x, name):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)(x)
+def _same_pad(k: int, s: int):
+    """TF-'SAME' padding for even input sizes (timm *Same layers):
+    (7, 2) → (2, 3); (3, 2) → (0, 1); stride 1 → symmetric k//2."""
+    if s == 1:
+        return ((k // 2, k // 2),) * 2
+    total = max(k - s, 0)
+    lo = total // 2
+    return ((lo, total - lo),) * 2
 
 
-class PreActBottleneck(nn.Module):
-    """ResNetV2 pre-activation bottleneck (timm Bottleneck in BiT)."""
+class Bottleneck(nn.Module):
+    """ResNetV2 non-preact bottleneck — timm's vit_base_r50_s16_384
+    backbone uses ResNetV2(preact=False): conv→GroupNorm(+relu) ×3 with a
+    conv+norm downsample shortcut and a final relu after the add."""
     mid: int
     out: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(32, name="norm1")(x)
-        y = nn.relu(y)
         shortcut = x
         if self.stride != 1 or x.shape[-1] != self.out:
-            shortcut = WSConv(self.out, (1, 1), strides=self.stride,
-                              use_bias=False, name="downsample_conv")(y)
-        y = WSConv(self.mid, (1, 1), use_bias=False, name="conv1")(y)
-        y = nn.relu(nn.GroupNorm(32, name="norm2")(y))
-        y = WSConv(self.mid, (3, 3), strides=self.stride, padding=1,
+            s = WSConv(self.out, (1, 1), strides=self.stride,
+                       use_bias=False, name="downsample_conv")(x)
+            shortcut = nn.GroupNorm(32, name="downsample_norm")(s)
+        y = WSConv(self.mid, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(nn.GroupNorm(32, name="norm1")(y))
+        y = WSConv(self.mid, (3, 3), strides=self.stride,
+                   padding=_same_pad(3, self.stride),
                    use_bias=False, name="conv2")(y)
-        y = nn.relu(nn.GroupNorm(32, name="norm3")(y))
+        y = nn.relu(nn.GroupNorm(32, name="norm2")(y))
         y = WSConv(self.out, (1, 1), use_bias=False, name="conv3")(y)
-        return y + shortcut
+        y = nn.GroupNorm(32, name="norm3")(y)
+        return nn.relu(y + shortcut)
+
+
+RESNET_DEPTHS = (3, 4, 9)
 
 
 class ResNetV2Stem(nn.Module):
@@ -75,25 +89,25 @@ class ResNetV2Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = WSConv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                   name="stem_conv")(x)
+        x = WSConv(64, (7, 7), strides=2, padding=_same_pad(7, 2),
+                   use_bias=False, name="stem_conv")(x)
         x = nn.relu(nn.GroupNorm(32, name="stem_norm")(x))
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
+                    constant_values=-jnp.inf)     # maxpool 'same' k3 s2
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         # stage 0: 3 blocks, 256 out
-        for i in range(3):
-            x = PreActBottleneck(64, 256, name=f"s0_b{i}")(x)
+        for i in range(RESNET_DEPTHS[0]):
+            x = Bottleneck(64, 256, name=f"s0_b{i}")(x)
         act1 = x
         # stage 1: 4 blocks, 512 out, stride 2
-        for i in range(4):
-            x = PreActBottleneck(128, 512, stride=2 if i == 0 else 1,
-                                 name=f"s1_b{i}")(x)
+        for i in range(RESNET_DEPTHS[1]):
+            x = Bottleneck(128, 512, stride=2 if i == 0 else 1,
+                           name=f"s1_b{i}")(x)
         act2 = x
         # stage 2: 9 blocks, 1024 out, stride 2
-        for i in range(9):
-            x = PreActBottleneck(256, 1024, stride=2 if i == 0 else 1,
-                                 name=f"s2_b{i}")(x)
+        for i in range(RESNET_DEPTHS[2]):
+            x = Bottleneck(256, 1024, stride=2 if i == 0 else 1,
+                           name=f"s2_b{i}")(x)
         return act1, act2, x
 
 
@@ -137,8 +151,26 @@ class ViTBlock(nn.Module):
 # ---------------------------------------------------------------------------
 
 def _resize2x(x):
+    """2× bilinear upsample with align_corners=True (the reference's
+    FeatureFusionBlock and head both use align_corners=True —
+    blocks.py:340-342, dpt_depth.py:98 — which jax.image.resize does not
+    offer). Separable gather-interpolate."""
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), "bilinear")
+    Ho, Wo = 2 * H, 2 * W
+
+    def axis_interp(a, n_in, n_out, axis):
+        pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        w = (pos - lo).astype(a.dtype)
+        sh = [1] * a.ndim
+        sh[axis] = n_out
+        w = w.reshape(sh)
+        return (jnp.take(a, lo, axis=axis) * (1 - w)
+                + jnp.take(a, hi, axis=axis) * w)
+
+    x = axis_interp(x, H, Ho, 1)
+    return axis_interp(x, W, Wo, 2)
 
 
 class ResidualConvUnit(nn.Module):
@@ -172,7 +204,8 @@ class DPTDepthModel(nn.Module):
     features: int = 256
     vit_dim: int = 768
     num_blocks: int = 12
-    patch_grid: int = 32      # 512/16
+    patch_grid: int = 24      # checkpoint-native grid (384/16); resized
+                              # to the runtime grid like forward_flex
 
     @nn.compact
     def __call__(self, x):
@@ -199,13 +232,14 @@ class DPTDepthModel(nn.Module):
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls + pos_cls, (B, 1, self.vit_dim)), tokens], 1)
 
+        # hooks capture RAW block outputs — the reference's forward hooks
+        # fire before model.norm, so the final LayerNorm is never applied
+        # to the DPT branch (vit.py:66-75)
         hooks = {}
         for i in range(self.num_blocks):
             tokens = ViTBlock(name=f"block{i}")(tokens)
             if i in (8, 11):
                 hooks[i] = tokens
-        tokens = nn.LayerNorm(name="vit_norm")(hooks[11])
-        hooks[11] = tokens
 
         def readout(tok, name):
             """ProjectReadout: concat cls token, linear project, GELU."""
@@ -276,17 +310,93 @@ class DPTDepthPredictor:
         return np.asarray(d)
 
 
-def load_omnidata_params(path: str):
-    """Convert the torch omnidata checkpoint to this module's params.
+def convert_state_dict(sd: dict) -> dict:
+    """Deterministic torch→Flax name/layout mapping for the omnidata
+    DPT-hybrid checkpoint (keys as produced by mono_estimators.py:36-43
+    after the 'model.' prefix strip: `pretrained.*` + `scratch.*`, timm
+    vit_base_r50_s16_384 naming).
 
-    Gated: implemented as a structural mapping; validated only when the
-    checkpoint is present (it is not in this environment)."""
+    Accepts any mapping of key → array-like (torch tensors or numpy), so
+    it is unit-testable with a synthetic state dict of the right shapes.
+    """
+    def g(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v, np.float32)
+
+    def conv(k):
+        out = {"kernel": g(k + ".weight").transpose(2, 3, 1, 0)}
+        if k + ".bias" in sd:
+            out["bias"] = g(k + ".bias")
+        return out
+
+    def norm(k):
+        return {"scale": g(k + ".weight"), "bias": g(k + ".bias")}
+
+    def dense(k):
+        return {"kernel": g(k + ".weight").T, "bias": g(k + ".bias")}
+
+    BB = "pretrained.model.patch_embed.backbone"
+    bb = {"stem_conv": conv(f"{BB}.stem.conv"),
+          "stem_norm": norm(f"{BB}.stem.norm")}
+    for s, depth in enumerate(RESNET_DEPTHS):
+        for b in range(depth):
+            p = f"{BB}.stages.{s}.blocks.{b}"
+            blk = {"conv1": conv(p + ".conv1"), "norm1": norm(p + ".norm1"),
+                   "conv2": conv(p + ".conv2"), "norm2": norm(p + ".norm2"),
+                   "conv3": conv(p + ".conv3"), "norm3": norm(p + ".norm3")}
+            if p + ".downsample.conv.weight" in sd:
+                blk["downsample_conv"] = conv(p + ".downsample.conv")
+                blk["downsample_norm"] = norm(p + ".downsample.norm")
+            bb[f"s{s}_b{b}"] = blk
+
+    params = {
+        "backbone": bb,
+        "patch_proj": conv("pretrained.model.patch_embed.proj"),
+        "cls_token": g("pretrained.model.cls_token"),
+        "pos_embed": g("pretrained.model.pos_embed"),
+        # readout projections + post convs (act_postprocess3/4, vit.py)
+        "readout3_proj": dense("pretrained.act_postprocess3.0.project.0"),
+        "post3": conv("pretrained.act_postprocess3.3"),
+        "readout4_proj": dense("pretrained.act_postprocess4.0.project.0"),
+        "post4a": conv("pretrained.act_postprocess4.3"),
+        "post4b": conv("pretrained.act_postprocess4.4"),
+        "head0": conv("scratch.output_conv.0"),
+        "head2": conv("scratch.output_conv.2"),
+        "head4": conv("scratch.output_conv.4"),
+    }
+    for i in range(12):
+        p = f"pretrained.model.blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": norm(p + ".norm1"),
+            "attn": {"qkv": dense(p + ".attn.qkv"),
+                     "proj": dense(p + ".attn.proj")},
+            "norm2": norm(p + ".norm2"),
+            "fc1": dense(p + ".mlp.fc1"),
+            "fc2": dense(p + ".mlp.fc2"),
+        }
+    for i in (1, 2, 3, 4):
+        params[f"layer{i}_rn"] = conv(f"scratch.layer{i}_rn")
+        rp = f"scratch.refinenet{i}"
+        rf = {"res2": {"conv1": conv(rp + ".resConfUnit2.conv1"),
+                       "conv2": conv(rp + ".resConfUnit2.conv2")},
+              "out_conv": conv(rp + ".out_conv")}
+        if i != 4:
+            # refinenet4 takes a single input: its resConfUnit1 exists in
+            # the checkpoint but is never executed (blocks.py:331-338)
+            rf["res1"] = {"conv1": conv(rp + ".resConfUnit1.conv1"),
+                          "conv2": conv(rp + ".resConfUnit1.conv2")}
+        params[f"refinenet{i}"] = rf
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_omnidata_params(path: str):
+    """Load + convert the torch omnidata checkpoint
+    (omnidata_dpt_depth_v2.ckpt) to this module's params."""
     import torch
-    sd = torch.load(path, map_location="cpu")
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
-    sd = {k.replace("model.", "", 1) if k.startswith("model.") else k: v
-          for k, v in sd.items()}
-    raise NotImplementedError(
-        "omnidata checkpoint conversion requires the checkpoint to finalize "
-        "the name mapping; none ships in this environment")
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    # strip the lightning 'model.' prefix (mono_estimators.py:38-40)
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[6:]: v for k, v in sd.items() if k.startswith("model.")}
+    return convert_state_dict(sd)

@@ -79,8 +79,8 @@ class EdgePlan:
     kx_valid: jnp.ndarray    # (M,) bool
     grp_edge: jnp.ndarray    # (M, D) edge ids contributing Ej to frame k, -1 pad
     t0: jnp.ndarray          # () int32
-    # static metadata
-    n_edges: int = dataclasses.field(metadata=dict(static=True))
+    # static metadata (shape buckets only — no per-value statics, they
+    # would retrigger compilation through the pytree treedef)
     M: int = dataclasses.field(metadata=dict(static=True))
     P: int = dataclasses.field(metadata=dict(static=True))
     D: int = dataclasses.field(metadata=dict(static=True))
@@ -88,43 +88,61 @@ class EdgePlan:
 
 def make_edge_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
                    edge_bucket: int = 32, depth_bucket: int = 8,
-                   group_bucket: int = 8, pose_bucket: int = 8) -> EdgePlan:
-    """Build the padded index plan for an edge set on the host."""
+                   group_bucket: int = 8, pose_bucket: int = 8,
+                   valid=None) -> EdgePlan:
+    """Build the padded index plan for an edge set on the host.
+
+    `valid` (bool, aligned with ii) marks real edges; rows with
+    valid=False are in-place padding (used to keep the active-edge block
+    at a fixed offset across calls — see FactorGraph.update_rounds).
+    Invalid rows contribute nothing: BA masks every per-edge term with
+    plan.edge_valid.
+    """
     ii = np.asarray(ii, dtype=np.int32).reshape(-1)
     jj = np.asarray(jj, dtype=np.int32).reshape(-1)
     n = ii.shape[0]
-    kx = np.unique(np.concatenate([np.arange(t0, t1, dtype=np.int32), ii]))
+    if valid is None:
+        valid = np.ones(n, bool)
+    valid = np.asarray(valid, bool).reshape(-1)
+    kx = np.unique(np.concatenate([np.arange(t0, t1, dtype=np.int32),
+                                   ii[valid]]))
     m = kx.shape[0]
-    kk = np.searchsorted(kx, ii).astype(np.int32)
+    kk = np.searchsorted(kx, np.clip(ii, kx[0] if m else 0,
+                                     kx[-1] if m else 0)).astype(np.int32)
+    kk = np.clip(kk, 0, max(m - 1, 0))
 
     Np = _geom_bucket(max(n, 1), edge_bucket)
     M = _geom_bucket(max(m, 1), depth_bucket)
     P = _geom_bucket(max(t1 - t0, 1), pose_bucket)
 
-    counts = np.bincount(kk, minlength=m) if n else np.zeros(m, np.int64)
-    d = int(counts.max()) if n else 1
+    kk_v = kk[valid]
+    counts = np.bincount(kk_v, minlength=m) if kk_v.size else \
+        np.zeros(m, np.int64)
+    d = int(counts.max()) if kk_v.size else 1
     D = _geom_bucket(max(d, 1), group_bucket)
     grp = -np.ones((M, D), dtype=np.int32)
     fill = np.zeros(m, dtype=np.int32)
-    for e_idx, k in enumerate(kk):
-        grp[k, fill[k]] = e_idx
-        fill[k] += 1
+    for e_idx, (k, v) in enumerate(zip(kk, valid)):
+        if v:
+            grp[k, fill[k]] = e_idx
+            fill[k] += 1
 
     pad = Np - n
     ii_p = np.concatenate([ii, np.zeros(pad, np.int32)])
     jj_p = np.concatenate([jj, np.zeros(pad, np.int32)])
     kk_p = np.concatenate([kk, np.zeros(pad, np.int32)])
     kx_p = np.concatenate([kx, np.full(M - m, kx[-1] if m else 0, np.int32)])
+    valid_p = np.concatenate([valid, np.zeros(pad, bool)])
 
     return EdgePlan(
         ii=jnp.asarray(ii_p), jj=jnp.asarray(jj_p), kk=jnp.asarray(kk_p),
         kx=jnp.asarray(kx_p),
         pi=jnp.asarray(ii_p - t0), pj=jnp.asarray(jj_p - t0),
-        edge_valid=jnp.asarray(np.arange(Np) < n),
+        edge_valid=jnp.asarray(valid_p),
         kx_valid=jnp.asarray(np.arange(M) < m),
         grp_edge=jnp.asarray(grp),
         t0=jnp.asarray(t0, jnp.int32),
-        n_edges=int(n), M=int(M), P=int(P), D=int(D),
+        M=int(M), P=int(P), D=int(D),
     )
 
 

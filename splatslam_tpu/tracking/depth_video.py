@@ -33,6 +33,23 @@ from ..ops.upsample import upsample_disp, upsample_disp_uniform
 CUDA_MIN_DEPTH = 0.25
 
 
+def _pad_idx(ix, base=32, fill=None):
+    """Pad an int index array to a geometric shape bucket.
+
+    Varying index-array lengths would otherwise compile a fresh XLA
+    program per length — per keyframe, in practice. `fill` defaults to
+    the first element (harmless duplicate work whose output is sliced
+    off / scattered with mode=drop)."""
+    ix = np.asarray(ix).reshape(-1)
+    n = ix.shape[0]
+    b = ba_ops._geom_bucket(max(n, 1), base)
+    if fill is None:
+        fill = ix[0] if n else 0
+    out = np.full(b, fill, ix.dtype if ix.size else np.int64)
+    out[:n] = ix
+    return out, n
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class VideoState:
@@ -285,10 +302,12 @@ class DepthVideo:
     # -- geometry ----------------------------------------------------------
 
     def reproject(self, ii, jj):
-        ii = jnp.asarray(ii, jnp.int32).reshape(-1)
-        jj = jnp.asarray(jj, jnp.int32).reshape(-1)
-        return reproject_kernel(self.state.poses, self.state.disps,
-                                self.state.intrinsics, ii, jj)
+        ii_p, n = _pad_idx(np.asarray(ii))
+        jj_p, _ = _pad_idx(np.asarray(jj))
+        coords, valid = reproject_kernel(
+            self.state.poses, self.state.disps, self.state.intrinsics,
+            jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32))
+        return coords[:n], valid[:n]
 
     def distance(self, ii=None, jj=None, beta=0.3, bidirectional=True):
         """Frame distance metric (depth_video.py:180-210)."""
@@ -296,31 +315,49 @@ class DepthVideo:
         if return_matrix:
             N = self.counter
             ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
-        ii = jnp.asarray(np.asarray(ii).reshape(-1), jnp.int32)
-        jj = jnp.asarray(np.asarray(jj).reshape(-1), jnp.int32)
+        ii_p, n = _pad_idx(np.asarray(ii))
+        jj_p, _ = _pad_idx(np.asarray(jj))
+        ii_j = jnp.asarray(ii_p, jnp.int32)
+        jj_j = jnp.asarray(jj_p, jnp.int32)
         intr = self.state.intrinsics[0]
         if bidirectional:
             d1 = frame_distance_kernel(self.state.poses, self.state.disps,
-                                       intr, ii, jj, beta)
+                                       intr, ii_j, jj_j, beta)
             d2 = frame_distance_kernel(self.state.poses, self.state.disps,
-                                       intr, jj, ii, beta)
+                                       intr, jj_j, ii_j, beta)
             d = 0.5 * (d1 + d2)
         else:
             d = frame_distance_kernel(self.state.poses, self.state.disps,
-                                      intr, ii, jj, beta)
-        d = np.asarray(d)
+                                      intr, ii_j, jj_j, beta)
+        d = np.asarray(d)[:n]
         if return_matrix:
-            return d.reshape(int(np.sqrt(d.size)), -1)
+            return d.reshape(int(np.sqrt(n)), -1)
         return d
+
+    def get_nets(self, ii):
+        """Bucketed gather of GRU hidden seeds for edges (host numpy)."""
+        ii_p, n = _pad_idx(np.asarray(ii))
+        sel = jnp.asarray(np.clip(ii_p, 0, self.buffer - 1), jnp.int32)
+        return np.asarray(self.state.nets[sel])[:n]
 
     def upsample(self, ix, upmask):
         """upmask=None → uniform (zero-mask) upsampling (oracle path)."""
-        ix = jnp.asarray(np.asarray(ix).reshape(-1), jnp.int32)
+        ix_np = np.asarray(ix).reshape(-1)
+        # pad to a shape bucket with an OOB sentinel (scatter drops it)
+        ix_p, n = _pad_idx(ix_np, base=8, fill=self.buffer)
+        ix_j = jnp.asarray(ix_p, jnp.int32)
+        ix_safe = jnp.clip(ix_j, 0, self.buffer - 1)
         if upmask is None:
-            up = upsample_uniform_kernel(self.state.disps[ix])
+            up = upsample_uniform_kernel(self.state.disps[ix_safe])
         else:
-            up = upsample_kernel(self.state.disps[ix], upmask)
-        self.state.disps_up = self.state.disps_up.at[ix].set(up)
+            pad = len(ix_p) - n
+            if pad:
+                upmask = jnp.concatenate(
+                    [upmask, jnp.zeros((pad,) + upmask.shape[1:],
+                                       upmask.dtype)], 0)
+            up = upsample_kernel(self.state.disps[ix_safe], upmask)
+        self.state.disps_up = self.state.disps_up.at[ix_j].set(
+            up, mode="drop")
 
     def normalize(self):
         mask = jnp.asarray(np.arange(self.buffer) < self.counter, jnp.float32)
@@ -443,25 +480,28 @@ class DepthVideo:
         if len(dirty_index) == 0:
             return
         s = self.state
-        disps = (s.disps_up if up else s.disps)[jnp.asarray(dirty_index)]
+        idx_p, n = _pad_idx(dirty_index, base=8, fill=self.buffer)
+        idx_j = jnp.asarray(idx_p, jnp.int32)
+        idx_safe = jnp.clip(idx_j, 0, self.buffer - 1)
+        disps = (s.disps_up if up else s.disps)[idx_safe]
         intr = s.intrinsics[0] * (self.down if up else 1.0)
         depths = 1.0 / jnp.clip(disps, 1e-8)
         thresh = (self.cfg["tracking"]["multiview_filter"]["thresh"]
                   * depths.mean(axis=(1, 2)))
         count = depth_filter_kernel(
-            s.poses, s.disps_up if up else s.disps, intr,
-            jnp.asarray(dirty_index, jnp.int32), thresh)
+            s.poses, s.disps_up if up else s.disps, intr, idx_safe, thresh)
         visible_num = self.cfg["tracking"]["multiview_filter"]["visible_num"]
         multiview = count >= visible_num
         depths_mv = jnp.where(multiview, depths, jnp.nan)
-        med = jnp.nanmedian(depths_mv.reshape(len(dirty_index), -1), axis=1)
+        med = jnp.nanmedian(depths_mv.reshape(len(idx_p), -1), axis=1)
         masks = multiview & (depths < 3 * med[:, None, None])
-        idx = jnp.asarray(dirty_index)
         if up:
-            s.valid_depth_mask = s.valid_depth_mask.at[idx].set(masks)
+            s.valid_depth_mask = s.valid_depth_mask.at[idx_j].set(
+                masks, mode="drop")
             self.dirty[dirty_index] = False
         else:
-            s.valid_depth_mask_small = s.valid_depth_mask_small.at[idx].set(masks)
+            s.valid_depth_mask_small = s.valid_depth_mask_small.at[
+                idx_j].set(masks, mode="drop")
 
     def set_dirty(self, start, end):
         self.dirty[start:end] = True

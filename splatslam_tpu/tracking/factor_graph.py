@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..models.droid_net import DroidNet
 from ..ops import corr as corr_ops
 from ..ops import projective as pops
-from .depth_video import reproject_kernel
+from .depth_video import reproject_kernel, _pad_idx as _pad_idx_fg
 
 _NET_DTYPE = jnp.float32
 _EDGE_BUCKET = 32
@@ -104,15 +104,13 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
 
 
 @partial(jax.jit, static_argnames=("num_kf", "rounds", "opt_types",
-                                   "use_net", "mv_visible_num",
-                                   "act_start", "n_act"))
+                                   "use_net", "mv_visible_num"))
 def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   mono_disps, depth_scale, depth_shift, valid_small,
                   gt_poses, gt_disps, net, target_all, weight_all,
                   ii_act, jj_act, edge_valid_act, ix, uniq_act, plan,
                   damping_maps, mv_thresh, EP, *, num_kf: int, rounds: int,
-                  opt_types: tuple, use_net: bool, mv_visible_num: int,
-                  act_start: int, n_act: int):
+                  opt_types: tuple, use_net: bool, mv_visible_num: int):
     """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
 
     The reference runs each round as many separate device launches
@@ -121,9 +119,13 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     within a keyframe's rounds, so the whole loop fuses.
 
     target_all/weight_all: (N_plan, h, w, 2) rows ordered
-    [inactive..., active..., padding]; the GRU updates rows
-    [act_start : act_start + n_act] each round (static slice).
-    ii_act/... are the active edges padded to their own GRU bucket.
+    [active (padded to Na = len(ii_act))..., inactive..., padding] — the
+    active block sits at a FIXED offset 0 so every slice is static by
+    shape and no per-value static argument exists (per-value statics are
+    a fresh XLA program per keyframe — the round-1 compile-count bomb).
+    ii_act/... are the active edges padded to their own GRU bucket; the
+    plan's first Na rows are those same (padded) edges with
+    plan.edge_valid masking the padding.
     opt_types: static tuple of "pose_depth"/"depth_scale" per round.
     Per-keyframe damping lives in damping_maps (buffer-indexed);
     plan.kx rows index straight into it.
@@ -136,38 +138,32 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
 
     h, w = disps.shape[-2:]
     net_out = net
-    target_act = target_all[act_start:act_start + n_act]
+    Na = ii_act.shape[0]
+    target_act = target_all[:Na]
+    ev_act = edge_valid_act[:, None, None, None]
 
     for r in range(rounds):
         # --- update operator on the active edges -------------------------
         if use_net:
-            # pad the current active targets to the GRU bucket
-            pad = ii_act.shape[0] - n_act
-            t_pad = jnp.concatenate(
-                [target_act, jnp.zeros((pad, h, w, 2))], 0) if pad else \
-                target_act
             net_out, t_new, w_new, eta_net, upmask, _, _ = _update_kernel(
                 params, poses, disps, intrinsics, fmaps, inps, net_out,
-                t_pad, ii_act, jj_act, edge_valid_act, ix, num_kf)
-            target_act = t_new[:n_act]
-            weight_act = w_new[:n_act]
+                target_act, ii_act, jj_act, edge_valid_act, ix, num_kf)
+            target_act = t_new
+            weight_act = w_new
             # uniq_act is padded with an out-of-bounds sentinel -> dropped
             damping_maps = damping_maps.at[uniq_act].set(
                 eta_net[:uniq_act.shape[0]], mode="drop")
         else:
             coords_gt, valid_gt = reproject_kernel(
-                gt_poses, gt_disps, intrinsics, ii_act[:n_act],
-                jj_act[:n_act])
-            has_depth = (gt_disps[ii_act[:n_act]] > 1e-8)[..., None]
+                gt_poses, gt_disps, intrinsics, ii_act, jj_act)
+            has_depth = (gt_disps[ii_act] > 1e-8)[..., None]
             target_act = coords_gt
-            weight_act = jnp.broadcast_to(valid_gt * has_depth,
+            weight_act = jnp.broadcast_to(valid_gt * has_depth * ev_act,
                                           coords_gt.shape)
             upmask = None
 
-        target_all = jax.lax.dynamic_update_slice_in_dim(
-            target_all, target_act, act_start, 0)
-        weight_all = jax.lax.dynamic_update_slice_in_dim(
-            weight_all, weight_act, act_start, 0)
+        target_all = jnp.concatenate([target_act, target_all[Na:]], 0)
+        weight_all = jnp.concatenate([weight_act, weight_all[Na:]], 0)
         eta = 0.2 * damping_maps[plan.kx] + EP
 
         if opt_types[r] == "pose_depth":
@@ -238,17 +234,22 @@ class FactorGraph:
         self.h = video.H // video.down
         self.w = video.W // video.down
 
+        # Per-edge state lives in HOST numpy: edge sets mutate with a
+        # different length almost every keyframe, and every eager device
+        # op on a new shape is a fresh XLA program (a remote-compile
+        # round trip under axon). The fused kernels receive bucket-padded
+        # device copies built per call.
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
-        self.net = jnp.zeros((0, self.h, self.w, 128), _NET_DTYPE)
-        self.target = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
-        self.weight = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
+        self.net = np.zeros((0, self.h, self.w, 128), np.float32)
+        self.target = np.zeros((0, self.h, self.w, 2), np.float32)
+        self.weight = np.zeros((0, self.h, self.w, 2), np.float32)
 
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
-        self.target_inac = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
-        self.weight_inac = jnp.zeros((0, self.h, self.w, 2), jnp.float32)
+        self.target_inac = np.zeros((0, self.h, self.w, 2), np.float32)
+        self.weight_inac = np.zeros((0, self.h, self.w, 2), np.float32)
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
 
@@ -279,16 +280,17 @@ class FactorGraph:
             drop = keep_rank >= (self.max_factors - ii.shape[0])
             self.rm_factors(drop, store=True)
 
-        net = self.video.state.nets[jnp.asarray(ii)].astype(_NET_DTYPE)
-        target, _ = self.video.reproject(ii, jj)
-        weight = jnp.zeros_like(target)
+        net = np.asarray(self.video.get_nets(ii), np.float32)
+        target_d, _ = self.video.reproject(ii, jj)
+        target = np.asarray(target_d, np.float32)
+        weight = np.zeros_like(target)
 
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros_like(ii)])
-        self.net = jnp.concatenate([self.net, net], 0)
-        self.target = jnp.concatenate([self.target, target], 0)
-        self.weight = jnp.concatenate([self.weight, weight], 0)
+        self.net = np.concatenate([self.net, net], 0)
+        self.target = np.concatenate([self.target, target], 0)
+        self.weight = np.concatenate([self.weight, weight], 0)
 
     def rm_factors(self, mask, store=False):
         mask = np.asarray(mask, bool)
@@ -297,22 +299,20 @@ class FactorGraph:
         if store:
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
-            sel = jnp.asarray(np.where(mask)[0])
-            self.target_inac = jnp.concatenate(
-                [self.target_inac, self.target[sel]], 0)
-            self.weight_inac = jnp.concatenate(
-                [self.weight_inac, self.weight[sel]], 0)
-        keep = jnp.asarray(np.where(~mask)[0])
+            self.target_inac = np.concatenate(
+                [self.target_inac, self.target[mask]], 0)
+            self.weight_inac = np.concatenate(
+                [self.weight_inac, self.weight[mask]], 0)
         self.ii = self.ii[~mask]
         self.jj = self.jj[~mask]
         self.age = self.age[~mask]
-        self.net = self.net[keep]
-        self.target = self.target[keep]
-        self.weight = self.weight[keep]
+        self.net = self.net[~mask]
+        self.target = self.target[~mask]
+        self.weight = self.weight[~mask]
 
     def filter_edges(self):
         """Remove edges with low confidence (factor_graph.py:83-90)."""
-        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        conf = self.weight.mean(axis=(1, 2, 3))
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
         self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
         self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
@@ -347,11 +347,10 @@ class FactorGraph:
         self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
                                 self.jj_inac)
         if m.any():
-            keep = jnp.asarray(np.where(~m)[0])
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
-            self.target_inac = self.target_inac[keep]
-            self.weight_inac = self.weight_inac[keep]
+            self.target_inac = self.target_inac[~m]
+            self.weight_inac = self.weight_inac[~m]
 
         m = (self.ii == ix) | (self.jj == ix)
         self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
@@ -394,13 +393,14 @@ class FactorGraph:
         s = self.video.state
         net_n, target, weight, eta, upmask, coords1, _ = _update_kernel(
             self.params, s.poses, s.disps, s.intrinsics[0], s.fmaps, s.inps,
-            pad_dev(self.net), pad_dev(self.target),
+            pad_dev(jnp.asarray(self.net, _NET_DTYPE)),
+            pad_dev(jnp.asarray(self.target)),
             jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
             jnp.asarray(valid), jnp.asarray(ix, jnp.int32), Mk)
 
-        self.net = net_n[:n]
-        self.target = target[:n]
-        self.weight = weight[:n]
+        self.net = np.asarray(net_n[:n], np.float32)
+        self.target = np.asarray(target[:n], np.float32)
+        self.weight = np.asarray(weight[:n], np.float32)
 
         # per-keyframe damping (factor_graph.py:250)
         uniq_j = jnp.asarray(uniq)
@@ -414,9 +414,8 @@ class FactorGraph:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             ii = np.concatenate([self.ii_inac[m], self.ii])
             jj = np.concatenate([self.jj_inac[m], self.jj])
-            sel = jnp.asarray(np.where(m)[0])
-            target_all = jnp.concatenate([self.target_inac[sel], self.target], 0)
-            weight_all = jnp.concatenate([self.weight_inac[sel], self.weight], 0)
+            target_all = np.concatenate([self.target_inac[m], self.target], 0)
+            weight_all = np.concatenate([self.weight_inac[m], self.weight], 0)
         else:
             ii, jj = self.ii, self.jj
             target_all, weight_all = self.target, self.weight
@@ -437,15 +436,18 @@ class FactorGraph:
         """GT-flow update: targets from ground-truth geometry, unit
         weights. Same BA dispatch as the learned path."""
         s = self.video.state
-        ii_j = jnp.asarray(self.ii, jnp.int32)
+        ii_pad, n_e = _pad_idx_fg(self.ii)
+        jj_pad, _ = _pad_idx_fg(self.jj)
+        ii_j = jnp.asarray(ii_pad, jnp.int32)
         coords_gt, valid_gt = reproject_kernel(
             s.gt_poses, s.gt_disps, s.intrinsics[0],
-            ii_j, jnp.asarray(self.jj, jnp.int32))
+            ii_j, jnp.asarray(jj_pad, jnp.int32))
         # mask pixels with no GT depth (hole pixels have gt_disp == 0 and
         # would otherwise inject infinite-depth targets at full weight)
         has_depth = (s.gt_disps[ii_j] > 1e-8)[..., None]
-        self.target = coords_gt
-        self.weight = jnp.broadcast_to(valid_gt * has_depth, coords_gt.shape)
+        weight_d = jnp.broadcast_to(valid_gt * has_depth, coords_gt.shape)
+        self.target = np.asarray(coords_gt[:n_e], np.float32)
+        self.weight = np.asarray(weight_d[:n_e], np.float32)
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
@@ -453,9 +455,8 @@ class FactorGraph:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             ii = np.concatenate([self.ii_inac[m], self.ii])
             jj = np.concatenate([self.jj_inac[m], self.jj])
-            sel = jnp.asarray(np.where(m)[0])
-            target = jnp.concatenate([self.target_inac[sel], self.target], 0)
-            weight = jnp.concatenate([self.weight_inac[sel], self.weight], 0)
+            target = np.concatenate([self.target_inac[m], self.target], 0)
+            weight = np.concatenate([self.weight_inac[m], self.weight], 0)
         else:
             ii, jj = self.ii, self.jj
             target, weight = self.target, self.weight
@@ -503,6 +504,7 @@ class FactorGraph:
         uniq_pad = np.full(Mk, self.video.buffer, np.int64)
         uniq_pad[:len(uniq)] = uniq
         n_act = len(self.ii)
+        Na = len(ii_p)
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
         if use_inactive:
@@ -518,27 +520,35 @@ class FactorGraph:
             t_in = jnp.zeros((0, self.h, self.w, 2))
             w_in = jnp.zeros((0, self.h, self.w, 2))
         n_inac = len(ii_in)
-        ii_all = np.concatenate([ii_in, self.ii])
-        jj_all = np.concatenate([jj_in, self.jj])
+        # plan layout: [active block (padded to Na) | inactive]; the
+        # active block at fixed offset 0 keeps every _fused_rounds slice
+        # static-by-shape (no per-keyframe recompiles)
+        ii_all = np.concatenate([ii_p, ii_in])
+        jj_all = np.concatenate([jj_p, jj_in])
+        valid_all = np.concatenate([valid, np.ones(n_inac, bool)])
         if t1 is None:
-            t1 = int(max(ii_all.max(), jj_all.max())) + 1
+            t1 = int(max(self.ii.max(), self.jj.max(),
+                         ii_in.max() if n_inac else 0,
+                         jj_in.max() if n_inac else 0)) + 1
         from ..ops import ba as ba_ops
-        plan = ba_ops.make_edge_plan(ii_all, jj_all, int(t0), int(t1))
+        plan = ba_ops.make_edge_plan(ii_all, jj_all, int(t0), int(t1),
+                                     valid=valid_all)
         Np = plan.ii.shape[0]
-        target_all = jnp.zeros((Np, self.h, self.w, 2))
-        weight_all = jnp.zeros((Np, self.h, self.w, 2))
+        target_np = np.zeros((Np, self.h, self.w, 2), np.float32)
+        weight_np = np.zeros((Np, self.h, self.w, 2), np.float32)
+        target_np[:n_act] = self.target
+        weight_np[:n_act] = self.weight
         if n_inac:
-            target_all = target_all.at[:n_inac].set(t_in)
-            weight_all = weight_all.at[:n_inac].set(w_in)
-        target_all = target_all.at[n_inac:n_inac + n_act].set(self.target)
-        weight_all = weight_all.at[n_inac:n_inac + n_act].set(self.weight)
+            target_np[Na:Na + n_inac] = t_in
+            weight_np[Na:Na + n_inac] = w_in
+        target_all = jnp.asarray(target_np)
+        weight_all = jnp.asarray(weight_np)
 
         s = self.video.state
         mv_cfg = self.video.cfg["tracking"]["multiview_filter"]
-        pad_act = len(ii_p) - n_act
-        net_p = jnp.concatenate(
-            [self.net, jnp.zeros((pad_act, self.h, self.w, 128),
-                                 _NET_DTYPE)], 0) if pad_act else self.net
+        net_np = np.zeros((Na, self.h, self.w, 128), np.float32)
+        net_np[:n_act] = self.net
+        net_p = jnp.asarray(net_np, _NET_DTYPE)
 
         (poses, disps, disps_up, net_out, target_all, weight_all,
          damping_maps, depth_scale, depth_shift, valid_small) = \
@@ -552,8 +562,7 @@ class FactorGraph:
                 jnp.asarray(uniq_pad, jnp.int32), plan, self.damping_maps,
                 mv_cfg["thresh"], EP, num_kf=Mk, rounds=len(opt_types),
                 opt_types=tuple(opt_types), use_net=not self.oracle,
-                mv_visible_num=mv_cfg["visible_num"],
-                act_start=n_inac, n_act=n_act)
+                mv_visible_num=mv_cfg["visible_num"])
 
         s.poses = poses
         s.disps = disps
@@ -562,9 +571,9 @@ class FactorGraph:
         s.depth_shift = depth_shift
         s.valid_depth_mask_small = valid_small
         self.damping_maps = damping_maps
-        self.net = net_out[:n_act]
-        self.target = target_all[n_inac:n_inac + n_act]
-        self.weight = weight_all[n_inac:n_inac + n_act]
+        self.net = np.asarray(net_out[:n_act], np.float32)
+        self.target = np.asarray(target_all[:n_act], np.float32)
+        self.weight = np.asarray(weight_all[:n_act], np.float32)
         self.age += len(opt_types)
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,

@@ -34,3 +34,111 @@ def test_dpt_structure():
     assert float(out.min()) >= 0.0  # non-negative head
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     assert 100e6 < n_params < 140e6  # DPT-hybrid ballpark (~120M)
+
+
+def _synthetic_omnidata_sd(rng):
+    """State dict shaped exactly like the omnidata DPT-hybrid checkpoint
+    after the 'model.' strip (timm vit_base_r50_s16_384 +
+    scratch/act_postprocess — see dpt.py convert_state_dict docstring)."""
+    sd = {}
+
+    def add(k, *shape):
+        sd[k] = rng.randn(*shape).astype(np.float32) * 0.02
+
+    BB = "pretrained.model.patch_embed.backbone"
+    add(f"{BB}.stem.conv.weight", 64, 3, 7, 7)
+    add(f"{BB}.stem.norm.weight", 64)
+    add(f"{BB}.stem.norm.bias", 64)
+    in_ch = 64
+    for s, (depth, mid, out) in enumerate(
+            [(3, 64, 256), (4, 128, 512), (9, 256, 1024)]):
+        for b in range(depth):
+            p = f"{BB}.stages.{s}.blocks.{b}"
+            add(p + ".conv1.weight", mid, in_ch, 1, 1)
+            add(p + ".norm1.weight", mid)
+            add(p + ".norm1.bias", mid)
+            add(p + ".conv2.weight", mid, mid, 3, 3)
+            add(p + ".norm2.weight", mid)
+            add(p + ".norm2.bias", mid)
+            add(p + ".conv3.weight", out, mid, 1, 1)
+            add(p + ".norm3.weight", out)
+            add(p + ".norm3.bias", out)
+            if b == 0:
+                add(p + ".downsample.conv.weight", out, in_ch, 1, 1)
+                add(p + ".downsample.norm.weight", out)
+                add(p + ".downsample.norm.bias", out)
+            in_ch = out
+    add("pretrained.model.patch_embed.proj.weight", 768, 1024, 1, 1)
+    add("pretrained.model.patch_embed.proj.bias", 768)
+    sd["pretrained.model.cls_token"] = rng.randn(1, 1, 768).astype(np.float32)
+    sd["pretrained.model.pos_embed"] = rng.randn(
+        1, 24 * 24 + 1, 768).astype(np.float32)
+    for i in range(12):
+        p = f"pretrained.model.blocks.{i}"
+        add(p + ".norm1.weight", 768)
+        add(p + ".norm1.bias", 768)
+        add(p + ".attn.qkv.weight", 2304, 768)
+        add(p + ".attn.qkv.bias", 2304)
+        add(p + ".attn.proj.weight", 768, 768)
+        add(p + ".attn.proj.bias", 768)
+        add(p + ".norm2.weight", 768)
+        add(p + ".norm2.bias", 768)
+        add(p + ".mlp.fc1.weight", 3072, 768)
+        add(p + ".mlp.fc1.bias", 3072)
+        add(p + ".mlp.fc2.weight", 768, 3072)
+        add(p + ".mlp.fc2.bias", 768)
+    # present in the checkpoint, unused by the DPT forward (hooks fire
+    # before model.norm)
+    add("pretrained.model.norm.weight", 768)
+    add("pretrained.model.norm.bias", 768)
+    add("pretrained.act_postprocess3.0.project.0.weight", 768, 1536)
+    add("pretrained.act_postprocess3.0.project.0.bias", 768)
+    add("pretrained.act_postprocess3.3.weight", 384, 768, 1, 1)
+    add("pretrained.act_postprocess3.3.bias", 384)
+    add("pretrained.act_postprocess4.0.project.0.weight", 768, 1536)
+    add("pretrained.act_postprocess4.0.project.0.bias", 768)
+    add("pretrained.act_postprocess4.3.weight", 768, 768, 1, 1)
+    add("pretrained.act_postprocess4.3.bias", 768)
+    add("pretrained.act_postprocess4.4.weight", 768, 768, 3, 3)
+    add("pretrained.act_postprocess4.4.bias", 768)
+    for i, ch in zip((1, 2, 3, 4), (256, 512, 384, 768)):
+        add(f"scratch.layer{i}_rn.weight", 256, ch, 3, 3)
+        rp = f"scratch.refinenet{i}"
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            add(f"{rp}.{unit}.conv1.weight", 256, 256, 3, 3)
+            add(f"{rp}.{unit}.conv1.bias", 256)
+            add(f"{rp}.{unit}.conv2.weight", 256, 256, 3, 3)
+            add(f"{rp}.{unit}.conv2.bias", 256)
+        add(f"{rp}.out_conv.weight", 256, 256, 1, 1)
+        add(f"{rp}.out_conv.bias", 256)
+    add("scratch.output_conv.0.weight", 128, 256, 3, 3)
+    add("scratch.output_conv.0.bias", 128)
+    add("scratch.output_conv.2.weight", 32, 128, 3, 3)
+    add("scratch.output_conv.2.bias", 32)
+    add("scratch.output_conv.4.weight", 1, 32, 1, 1)
+    add("scratch.output_conv.4.bias", 1)
+    return sd
+
+
+def test_omnidata_converter_roundtrips_shapes():
+    """convert_state_dict produces a COMPLETE params tree that the Flax
+    module accepts: same treedef, same leaf shapes, working forward."""
+    from splatslam_tpu.models.dpt import DPTDepthModel, convert_state_dict
+    rng = np.random.RandomState(0)
+    sd = _synthetic_omnidata_sd(rng)
+    params = convert_state_dict(sd)
+
+    m = DPTDepthModel()
+    ref = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    assert jax.tree_util.tree_structure(ref_shapes) == \
+        jax.tree_util.tree_structure(got_shapes)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_shapes),
+            jax.tree_util.tree_leaves_with_path(got_shapes)):
+        assert a == b, (kp, a, b)
+
+    out = m.apply({"params": params}, jnp.ones((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
