@@ -88,6 +88,7 @@ def main():
     cfg["mapping"]["final_refine_iters"] = int(
         os.environ.get("BENCH_REFINE", "128"))
     cfg["eval_full_traj"] = False
+    cfg["eval_plots"] = False   # per-keyframe panels cost host time
 
     t_setup = time.time()
     slam = SLAM(cfg)

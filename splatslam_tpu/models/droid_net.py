@@ -121,11 +121,14 @@ class GraphAgg(nn.Module):
         """net (N,H,W,128); ix (N,) edge→keyframe slot; num_kf static."""
         net = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
                               name="conv1")(net))
-        # scatter_mean over edges sharing a source keyframe
+        # scatter_mean over edges sharing a source keyframe (counts in
+        # fp32: bf16 cannot represent integers above 256 exactly)
         s = jax.ops.segment_sum(net, ix, num_segments=num_kf)
-        cnt = jax.ops.segment_sum(jnp.ones((net.shape[0],), net.dtype), ix,
-                                  num_segments=num_kf)
-        net = s / jnp.clip(cnt, 1.0, None)[:, None, None, None]
+        cnt = jax.ops.segment_sum(
+            jnp.ones((net.shape[0],), jnp.float32), ix,
+            num_segments=num_kf)
+        net = s / jnp.clip(cnt, 1.0, None).astype(
+            net.dtype)[:, None, None, None]
         net = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
                               name="conv2")(net))
         eta = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="eta_0")(net)
@@ -214,6 +217,16 @@ class DroidNet(nn.Module):
         cn, ci = self.context(images)
         out = self.update(net, inp, corr, flow, ix, num_kf)
         return fmap, cn, ci, out
+
+
+def compute_dtype():
+    """Network compute dtype on the hot path: bf16 (half the HBM traffic,
+    native MXU rate — the reference's AMP fp16 analog, SURVEY §2.7) with
+    fp32 parameters; set SPLATSLAM_F32_NET=1 to force fp32 (parity
+    debugging). BA/solvers always run fp32."""
+    import os
+    return jnp.float32 if os.environ.get("SPLATSLAM_F32_NET") \
+        else jnp.bfloat16
 
 
 IMAGE_MEAN = jnp.asarray([0.485, 0.456, 0.406])

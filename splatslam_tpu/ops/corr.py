@@ -34,11 +34,12 @@ def build_corr_volume(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
     (each map divided by 4).
     """
     N, H, W, C = fmap1.shape
-    f1 = fmap1.reshape(N, H * W, C).astype(jnp.float32) / 4.0
-    f2 = fmap2.reshape(N, H * W, C).astype(jnp.float32) / 4.0
+    # inputs may be bf16 (native MXU rate); accumulate fp32
+    f1 = fmap1.reshape(N, H * W, C) / 4.0
+    f2 = fmap2.reshape(N, H * W, C) / 4.0
     corr = jnp.einsum("nxc,nyc->nxy", f1, f2,
                       preferred_element_type=jnp.float32)
-    return corr.reshape(N, H, W, H, W)
+    return corr.reshape(N, H, W, H, W).astype(jnp.float32)
 
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
@@ -197,8 +198,10 @@ def alt_corr(fmap_pyr: list[jnp.ndarray], ii: jnp.ndarray, jj: jnp.ndarray,
     for lvl, fm in enumerate(fmap_pyr):
         f2 = fm[jj]                                    # (N,H/2ˡ,W/2ˡ,C)
         win = _gather_fmap_window(f2, coords / (2 ** lvl), radius)
-        corr = jnp.einsum("nhwc,nhwkc->nhwk", f1.astype(jnp.float32),
-                          win.astype(jnp.float32),
+        # keep the contraction in the feature dtype (bf16 on the hot
+        # path → MXU-native), accumulate fp32
+        corr = jnp.einsum("nhwc,nhwkc->nhwk", f1,
+                          win.astype(f1.dtype),
                           preferred_element_type=jnp.float32)
-        out.append(corr)
+        out.append(corr.astype(jnp.float32))
     return jnp.concatenate(out, axis=-1)

@@ -145,7 +145,8 @@ class SLAM:
                 eval_rendering(self.mapper, self.save_dir, self.stream,
                                global_scale=scale0,
                                iteration="before_refine",
-                               printer=self.printer)
+                               printer=self.printer,
+                               save_panels=cfg.get("eval_plots", True))
             except Exception as e:
                 self.printer.print(str(e), FontColor.ERROR)
 
@@ -174,7 +175,8 @@ class SLAM:
                 eval_rendering(self.mapper, self.save_dir, self.stream,
                                global_scale=self.global_scale,
                                iteration="after_refine",
-                               printer=self.printer)
+                               printer=self.printer,
+                               save_panels=cfg.get("eval_plots", True))
             if cfg.get("meshing", {}).get("mesh", False):
                 try:
                     from .utils.eval_render import eval_mesh

@@ -55,7 +55,8 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
 
     Returns (net', target', weight, eta, upmask, coords1, mask).
     """
-    model = DroidNet()
+    from ..models.droid_net import compute_dtype
+    model = DroidNet(dtype=compute_dtype())
     h, w = disps.shape[-2:]
     coords0 = pops.coords_grid(h, w)
 
@@ -69,8 +70,9 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
         [coords1 - coords0[None], target - coords1], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    fmap_pyr = corr_ops.build_fmap_pyramid(
-        fmaps.astype(jnp.float32), num_levels)
+    # bf16 feature pyramid: half the HBM traffic on the gather-heavy
+    # alt-corr path, fp32 accumulation inside the contraction
+    fmap_pyr = corr_ops.build_fmap_pyramid(fmaps, num_levels)
 
     N = ii.shape[0]
     chunk = min(_CORR_CHUNK, N)
@@ -531,8 +533,18 @@ class FactorGraph:
                          ii_in.max() if n_inac else 0,
                          jj_in.max() if n_inac else 0)) + 1
         from ..ops import ba as ba_ops
+        # Shape-bucket floors: without them the (Np, M, P, D) tuple shifts
+        # as the graph grows and almost every mapped keyframe compiled a
+        # fresh ~30 s _fused_rounds variant (measured on the TPU tunnel).
+        # Flooring pose/depth at the ring-buffer size makes them constant
+        # (the extra rows are damped no-ops); edges/groups use coarse
+        # geometric bases. FLOP cost of the padding is noise on TPU.
+        buf = self.video.buffer
+        pd_base = min(buf, 128)
         plan = ba_ops.make_edge_plan(ii_all, jj_all, int(t0), int(t1),
-                                     valid=valid_all)
+                                     valid=valid_all,
+                                     edge_bucket=64, depth_bucket=pd_base,
+                                     group_bucket=16, pose_bucket=pd_base)
         Np = plan.ii.shape[0]
         target_np = np.zeros((Np, self.h, self.w, 2), np.float32)
         weight_np = np.zeros((Np, self.h, self.w, 2), np.float32)

@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..models.droid_net import DroidNet, normalize_images
+from ..models.droid_net import DroidNet, normalize_images, compute_dtype
 from ..ops import corr as corr_ops
 from ..ops import projective as pops
 from ..ops import lie
@@ -22,7 +22,7 @@ from ..ops import lie
 @jax.jit
 def encode_features(params, image):
     """image (H,W,3) float [0,1] → fmap (h,w,128)."""
-    net = DroidNet()
+    net = DroidNet(dtype=compute_dtype())
     inputs = normalize_images(image)[None]
     return net.apply({"params": params}, inputs,
                      method=DroidNet.features)[0]
@@ -30,10 +30,10 @@ def encode_features(params, image):
 
 @jax.jit
 def encode_context(params, image):
-    net = DroidNet()
+    net = DroidNet(dtype=compute_dtype())
     inputs = normalize_images(image)[None]
     cn, ci = net.apply({"params": params}, inputs, method=DroidNet.context)
-    return cn[0], ci[0]
+    return cn[0].astype(jnp.float32), ci[0].astype(jnp.float32)
 
 
 @jax.jit
@@ -41,35 +41,36 @@ def track_kernel(params, image, fmap_last, net_last, inp_last):
     """Fused per-frame motion check: encode features AND compute the mean
     flow-revision magnitude vs the last keyframe in one dispatch
     (motion_filter.py:73-94 runs these as separate launches)."""
-    model = DroidNet()
+    model = DroidNet(dtype=compute_dtype())
     inputs = normalize_images(image)[None]
     gmap = model.apply({"params": params}, inputs,
                        method=DroidNet.features)[0]
     h, w = gmap.shape[:2]
     coords0 = pops.coords_grid(h, w)[None]
-    pyr = corr_ops.build_corr_pyramid(
-        fmap_last[None].astype(jnp.float32), gmap[None].astype(jnp.float32))
+    pyr = corr_ops.build_corr_pyramid(fmap_last[None],
+                                      gmap[None].astype(fmap_last.dtype))
     corr = corr_ops.lookup_pyramid(pyr, coords0)
     _, delta, _ = model.apply(
         {"params": params}, net_last[None], inp_last[None], corr,
         method=DroidNet.update_step)
-    return gmap, jnp.linalg.norm(delta, axis=-1).mean()
+    return gmap, jnp.linalg.norm(
+        delta.astype(jnp.float32), axis=-1).mean()
 
 
 @jax.jit
 def flow_magnitude(params, fmap_last, gmap, net_last, inp_last):
     """One update-operator iteration vs the last keyframe; returns the
     mean ‖delta‖ (motion_filter.py:85-94)."""
-    model = DroidNet()
+    model = DroidNet(dtype=compute_dtype())
     h, w = fmap_last.shape[:2]
     coords0 = pops.coords_grid(h, w)[None]
-    pyr = corr_ops.build_corr_pyramid(
-        fmap_last[None].astype(jnp.float32), gmap[None].astype(jnp.float32))
+    pyr = corr_ops.build_corr_pyramid(fmap_last[None],
+                                      gmap[None].astype(fmap_last.dtype))
     corr = corr_ops.lookup_pyramid(pyr, coords0)
     _, delta, _ = model.apply(
         {"params": params}, net_last[None], inp_last[None], corr,
         method=DroidNet.update_step)
-    return jnp.linalg.norm(delta, axis=-1).mean()
+    return jnp.linalg.norm(delta.astype(jnp.float32), axis=-1).mean()
 
 
 class MotionFilter:

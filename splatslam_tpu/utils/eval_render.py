@@ -31,7 +31,8 @@ def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
               gt_mesh_path="", printer=None, voxel=5.0 / 512, trunc=0.04):
     """TSDF-fuse rendered keyframe depths → mesh (+ optional F-score vs a
     ground-truth mesh) — eval_utils.py:70-73,137-187 parity."""
-    from .mesh import TSDFVolume, save_mesh_ply, load_mesh_ply, run_evaluation
+    from .mesh import (TSDFVolume, save_mesh_ply, load_mesh_ply,
+                       run_evaluation, clean_mesh)
 
     cams = [(k, mapper.viewpoints.get(k, mapper.cameras.get(k)))
             for k in mapper.video_idxs if mapper.is_kf.get(k, False)]
@@ -56,9 +57,12 @@ def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
         vol.integrate(d, np.asarray(np.clip(out.color, 0, 1)),
                       np.asarray(cam.w2c), intr)
     verts, faces = vol.extract_mesh()
+    n0 = len(verts)
+    verts, faces, _ = clean_mesh(verts, faces)   # eval_utils.py:331-378
     os.makedirs(save_dir, exist_ok=True)
     save_mesh_ply(os.path.join(save_dir, "mesh.ply"), verts, faces)
-    result = {"n_verts": int(len(verts)), "n_faces": int(len(faces))}
+    result = {"n_verts": int(len(verts)), "n_faces": int(len(faces)),
+              "n_verts_raw": int(n0)}
     if gt_mesh_path and os.path.exists(gt_mesh_path):
         gt_v, gt_f = load_mesh_ply(gt_mesh_path)
         if global_scale != 1.0:
@@ -71,15 +75,61 @@ def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
     return result
 
 
+def plot_rgbd_panel(gt, pred, gt_depth, pred_depth, psnr_score, depth_l1,
+                    path):
+    """2×3 RGB/depth/diff panel per keyframe (reference
+    eval_utils.py:130-168 plot_rgbd_silhouette)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(2, 3, figsize=(12, 6))
+    diff_rgb = np.abs(gt - pred).mean(-1)
+    diff_d = np.abs(gt_depth - pred_depth) * (gt_depth > 0)
+    for a, (im, title, kw) in zip(ax.flat, [
+            (gt, "GT rgb", {}),
+            (pred, f"render (psnr {psnr_score:.2f})", {}),
+            (diff_rgb, "|rgb diff|", dict(cmap="jet")),
+            (gt_depth, "GT depth", dict(cmap="jet")),
+            (pred_depth, "render depth", dict(cmap="jet")),
+            (diff_d, f"|depth diff| (L1 {depth_l1:.3f})",
+             dict(cmap="jet"))]):
+        a.imshow(im, **kw)
+        a.set_title(title)
+        a.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+
+
+def _write_gif(frames, path):
+    """Animated gif of the rendered keyframes (eval_utils gif output)."""
+    try:
+        from PIL import Image
+        ims = [Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8))
+               for f in frames]
+        if ims:
+            ims[0].save(path, save_all=True, append_images=ims[1:],
+                        duration=120, loop=0)
+    except Exception:
+        pass
+
+
 def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
-                   iteration="after_refine", printer=None):
+                   iteration="after_refine", printer=None,
+                   save_panels=True):
     """Render every mapped keyframe and aggregate metrics
-    (eval_utils.py:78-212 parity, minus mesh — see utils/mesh.py)."""
+    (eval_utils.py:78-212 parity, minus mesh — see utils/mesh.py).
+    save_panels also writes a per-keyframe 2×3 RGB/depth/diff PNG and an
+    animated gif of the renders."""
     lpips_fn = _try_lpips()
     img_dir = os.path.join(save_dir, "rendering", iteration)
     os.makedirs(img_dir, exist_ok=True)
+    plot_dir = os.path.join(save_dir, f"plots_{iteration}")
+    if save_panels:
+        os.makedirs(plot_dir, exist_ok=True)
 
     psnrs, ssims, lpipss, depth_l1s = [], [], [], []
+    gif_frames = []
     for kf_idx, frame_idx in zip(mapper.video_idxs, mapper.keyframe_idxs):
         if not mapper.is_kf.get(kf_idx, False):
             continue
@@ -102,12 +152,27 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
             a_t = torch.from_numpy(np.asarray(image).transpose(2, 0, 1))[None]
             b_t = torch.from_numpy(np.asarray(gt).transpose(2, 0, 1))[None]
             lpipss.append(float(lpips_fn(a_t.clamp(0, 1), b_t.clamp(0, 1))))
+        d_l1 = float("nan")
         if gt_depth is not None:
             d = np.asarray(out.depth) * global_scale
             m = (np.asarray(gt_depth) > 0) & (d > 0)
             if m.sum():
-                depth_l1s.append(float(np.abs(
-                    d[m] - np.asarray(gt_depth)[m]).mean()))
+                d_l1 = float(np.abs(d[m] - np.asarray(gt_depth)[m]).mean())
+                depth_l1s.append(d_l1)
+        if save_panels:
+            gtd = (np.asarray(gt_depth) if gt_depth is not None
+                   else np.zeros(out.depth.shape))
+            plot_rgbd_panel(
+                np.asarray(gt), np.asarray(image), gtd,
+                np.asarray(out.depth) * global_scale, psnrs[-1],
+                0.0 if np.isnan(d_l1) else d_l1,
+                os.path.join(
+                    plot_dir,
+                    f"video_idx_{kf_idx}_kf_idx_{frame_idx}.png"))
+            gif_frames.append(np.asarray(image))
+
+    if save_panels and gif_frames:
+        _write_gif(gif_frames, os.path.join(plot_dir, "renders.gif"))
 
     result = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else None,

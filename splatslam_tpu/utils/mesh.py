@@ -211,6 +211,36 @@ def marching_cubes(vol: np.ndarray, level: float = 0.0):
     return verts.astype(np.float32), faces.astype(np.int64)
 
 
+def clean_mesh(verts, faces, colors=None, min_len=100):
+    """Drop connected components smaller than `min_len` vertices before
+    evaluation (reference eval_utils.py:331-378 clean_mesh) — floaters
+    from unobserved space otherwise tank the F-score.
+
+    verts (V,3) float; faces (F,3) int; optional colors (V,3|4).
+    Returns (verts', faces', colors') with faces reindexed.
+    """
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    if len(verts) == 0 or len(faces) == 0:
+        return verts, faces, colors
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+    n = len(verts)
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                        faces[:, [2, 0]]], 0)
+    g = sp.coo_matrix((np.ones(len(e), np.int8), (e[:, 0], e[:, 1])),
+                      shape=(n, n))
+    _, label = connected_components(g, directed=False)
+    counts = np.bincount(label)
+    keep_vert = (counts >= min_len)[label]
+    keep_face = keep_vert[faces].all(1)
+    remap = -np.ones(n, np.int64)
+    remap[keep_vert] = np.arange(int(keep_vert.sum()))
+    new_faces = remap[faces[keep_face]]
+    new_colors = colors[keep_vert] if colors is not None else None
+    return verts[keep_vert], new_faces, new_colors
+
+
 def save_mesh_ply(path, verts, faces):
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {len(verts)}",
