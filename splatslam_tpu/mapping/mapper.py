@@ -357,6 +357,8 @@ class Mapper:
         self.rng = jax.random.PRNGKey(cfg.get("setup_seed", 43))
         self.initialized = False
         self.first_mapped_uid = None
+        from ..utils.profiling import PhaseTimers
+        self.timers = PhaseTimers()   # replaced by SLAM's shared timers
 
         self.intrinsics = jnp.asarray(dataset.get_intrinsic())
 
@@ -752,13 +754,16 @@ class Mapper:
 
     def process_keyframe(self, frame_idx, video_idx):
         """Handle one tracker keyframe; returns True if it was mapped."""
-        _, color, _, _ = self.dataset[frame_idx]
-        mono = self.mono_loader(frame_idx)
+        T = self.timers
+        with T("map.load"):
+            _, color, _, _ = self.dataset[frame_idx]
+            mono = self.mono_loader(frame_idx)
         self.keyframe_idxs.append(frame_idx)
         self.video_idxs.append(video_idx)
 
-        depth, w2c, invalid = self.get_w2c_and_depth(video_idx, frame_idx,
-                                                     mono)
+        with T("map.fuse"):
+            depth, w2c, invalid = self.get_w2c_and_depth(
+                video_idx, frame_idx, mono)
         cam = make_camera(video_idx, color, depth, w2c)
         self.cameras[video_idx] = cam
         if invalid:
@@ -772,16 +777,19 @@ class Mapper:
             self.depth_dict[video_idx] = depth
             self.is_kf[video_idx] = True
             self.viewpoints[video_idx] = cam
-            self.add_next_kf(video_idx, cam, depth, init=True)
-            self.initialize_map(video_idx, cam)
+            with T("map.anchor"):
+                self.add_next_kf(video_idx, cam, depth, init=True)
+            with T("map.opt"):
+                self.initialize_map(video_idx, cam)
             return True
 
-        out = self.render(cam)
-        median_depth = float(get_median_depth(out.depth, out.alpha))
-        if not np.isfinite(median_depth):
-            median_depth = float(np.median(depth[depth > 0])) \
-                if (depth > 0).any() else 1.0
-        cur_vis = np.asarray(out.n_touched > 0)
+        with T("map.render_gate"):
+            out = self.render(cam)
+            median_depth = float(get_median_depth(out.depth, out.alpha))
+            if not np.isfinite(median_depth):
+                median_depth = float(np.median(depth[depth > 0])) \
+                    if (depth > 0).any() else 1.0
+            cur_vis = np.asarray(out.n_touched > 0)
         last_idx = self.current_window[0]
 
         create_kf = self.is_keyframe(video_idx, last_idx, cur_vis,
@@ -808,38 +816,43 @@ class Mapper:
         # skip keyframes whose poses/depths did not change.
         last_frame_idx = self.keyframe_idxs[-1]
         dirty = self.video.npc_dirty
-        for v_idx, f_idx in zip(self.video_idxs, self.keyframe_idxs):
-            if not dirty[v_idx] and v_idx in self.depth_dict                     and f_idx != last_frame_idx:
-                continue
-            mono_k = self.mono_loader(f_idx)
-            depth_t, w2c_t, invalid_t = self.get_w2c_and_depth(
-                v_idx, f_idx, mono_k)
-            dirty[v_idx] = False
-            if v_idx not in self.depth_dict and self.is_kf.get(v_idx, False):
-                self.depth_dict[v_idx] = depth_t
-            if f_idx == last_frame_idx:
-                continue
-            camk = self.cameras[v_idx]
-            w2c_old = np.asarray(camk.w2c)
-            camk.w2c = jnp.asarray(w2c_t)
-            camk.depth = depth_t
-            if v_idx in self.viewpoints:
-                self.viewpoints[v_idx].w2c = jnp.asarray(w2c_t)
-                self.viewpoints[v_idx].depth = depth_t
-            if self.move_points and self.is_kf.get(v_idx, False):
-                old_d = self.depth_dict.get(v_idx, depth_t)
-                self.st = deform_points(
-                    self.st, v_idx, jnp.asarray(w2c_t),
-                    jnp.asarray(w2c_old), jnp.asarray(depth_t),
-                    jnp.asarray(old_d), self.intrinsics,
-                    jnp.asarray(invalid_t))
-                self.depth_dict[v_idx] = depth_t
+        with T("map.deform"):
+            for v_idx, f_idx in zip(self.video_idxs, self.keyframe_idxs):
+                if not dirty[v_idx] and v_idx in self.depth_dict \
+                        and f_idx != last_frame_idx:
+                    continue
+                mono_k = self.mono_loader(f_idx)
+                depth_t, w2c_t, invalid_t = self.get_w2c_and_depth(
+                    v_idx, f_idx, mono_k)
+                dirty[v_idx] = False
+                if v_idx not in self.depth_dict and \
+                        self.is_kf.get(v_idx, False):
+                    self.depth_dict[v_idx] = depth_t
+                if f_idx == last_frame_idx:
+                    continue
+                camk = self.cameras[v_idx]
+                w2c_old = np.asarray(camk.w2c)
+                camk.w2c = jnp.asarray(w2c_t)
+                camk.depth = depth_t
+                if v_idx in self.viewpoints:
+                    self.viewpoints[v_idx].w2c = jnp.asarray(w2c_t)
+                    self.viewpoints[v_idx].depth = depth_t
+                if self.move_points and self.is_kf.get(v_idx, False):
+                    old_d = self.depth_dict.get(v_idx, depth_t)
+                    self.st = deform_points(
+                        self.st, v_idx, jnp.asarray(w2c_t),
+                        jnp.asarray(w2c_old), jnp.asarray(depth_t),
+                        jnp.asarray(old_d), self.intrinsics,
+                        jnp.asarray(invalid_t))
+                    self.depth_dict[v_idx] = depth_t
 
         self.viewpoints[video_idx] = cam
-        self.add_next_kf(video_idx, cam, depth, init=False)
+        with T("map.anchor"):
+            self.add_next_kf(video_idx, cam, depth, init=False)
 
-        self.map(self.current_window, iters=self.mapping_itr_num)
-        self.map(self.current_window, prune=True)
+        with T("map.opt"):
+            self.map(self.current_window, iters=self.mapping_itr_num)
+            self.map(self.current_window, prune=True)
         if self.online_plotting:
             self.plot_online(video_idx)
         return True

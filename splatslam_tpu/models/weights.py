@@ -22,18 +22,25 @@ from .droid_net import DroidNet
 
 
 def init_params(key=None, H: int = 48, W: int = 64) -> Dict[str, Any]:
-    """Random-initialized DroidNet params (tree-compatible with converter)."""
+    """Random-initialized DroidNet params (tree-compatible with converter).
+
+    The whole init runs under one jit: eagerly it is ~80 tiny XLA
+    programs, each costing a compiler/loader RPC under the axon tunnel.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     net = DroidNet()
-    imgs = jnp.zeros((1, H, W, 3))
     h, w = H // 8, W // 8
-    variables = net.init(
-        key, imgs,
-        jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
-        jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
-        jnp.zeros((1,), jnp.int32), 1)
-    return variables["params"]
+
+    @jax.jit
+    def _init(key):
+        return net.init(
+            key, jnp.zeros((1, H, W, 3)),
+            jnp.zeros((1, h, w, 128)), jnp.zeros((1, h, w, 128)),
+            jnp.zeros((1, h, w, 196)), jnp.zeros((1, h, w, 4)),
+            jnp.zeros((1,), jnp.int32), 1)["params"]
+
+    return _init(key)
 
 
 def _enc_mapping(prefix: str):

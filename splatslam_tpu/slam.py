@@ -66,6 +66,10 @@ class SLAM:
         self.every_kf = cfg["mapping"]["every_keyframe"]
         self.global_scale = 1.0
         self.timers = PhaseTimers()
+        if self.mapper is not None:
+            self.mapper.timers = self.timers
+        self.frontend.timers = self.timers
+        self.motion_filter.timers = self.timers
         self.trace_dir = cfg.get("profiling", {}).get("trace_dir", None)
 
     # -- main loop (tracker.py:47-92 + mapper pipe protocol) ----------------
@@ -89,8 +93,11 @@ class SLAM:
                         gt_pose = lie.from_matrix(
                             jnp.linalg.inv(jnp.asarray(gt_c2w)))
                 with T("motion_filter"):
+                    # uint8 upload: 4x less traffic over the device link
+                    img_u8 = jnp.asarray(
+                        (np.asarray(image) * 255.0).astype(np.uint8))
                     self.motion_filter.track(
-                        timestamp, jnp.asarray(image), intrinsic,
+                        timestamp, img_u8, intrinsic,
                         gt_pose=gt_pose,
                         gt_depth=gt_depth if oracle else None)
                 with T("frontend"):

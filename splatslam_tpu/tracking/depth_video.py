@@ -225,6 +225,37 @@ def normalize_kernel(poses, disps, count_mask):
     return poses, disps
 
 
+@partial(jax.jit, static_argnames=("fields", "down"), donate_argnums=(0,))
+def _set_item_kernel(state: VideoState, idx, values, fields, down: int):
+    """Fused keyframe write (see DepthVideo.set_item)."""
+    def subsample_disp(full, target_shape):
+        if full.shape == tuple(target_shape):
+            # already 1/8-res DISPARITY (host-subsampled to keep the
+            # upload small)
+            return full
+        off = down // 2 - 1
+        d = full[off::down, off::down]
+        d = d[: target_shape[0], : target_shape[1]]
+        return jnp.where(d > 1e-6, 1.0 / jnp.clip(d, 1e-6), 0.0)
+
+    upd = {}
+    for name, v in zip(fields, values):
+        cur = getattr(state, name)
+        if name == "images":
+            v = v.astype(jnp.uint8)
+        elif name == "disps":
+            v = jnp.broadcast_to(jnp.asarray(v, jnp.float32),
+                                 cur.shape[1:])
+        elif name in ("mono_disps", "gt_disps"):
+            v = subsample_disp(v, cur.shape[1:])
+        elif name == "fmaps":
+            v = v.astype(jnp.bfloat16)
+        else:
+            v = v.astype(cur.dtype)
+        upd[name] = cur.at[idx].set(v)
+    return dataclasses.replace(state, **upd)
+
+
 class DepthVideo:
     """Host facade over VideoState, mirroring the reference API."""
 
@@ -262,40 +293,22 @@ class DepthVideo:
     def set_item(self, idx, timestamp, image, pose=None, disp=None,
                  mono_depth=None, intrinsics=None, fmap=None, net=None,
                  inp=None, gt_pose=None, gt_depth=None):
-        s = self.state
-        s.timestamp = s.timestamp.at[idx].set(timestamp)
-        if image is not None:
-            s.images = s.images.at[idx].set(image.astype(jnp.uint8))
-        if pose is not None:
-            s.poses = s.poses.at[idx].set(pose)
-        if disp is not None:
-            s.disps = s.disps.at[idx].set(
-                jnp.broadcast_to(jnp.asarray(disp, jnp.float32),
-                                 s.disps.shape[1:]))
-        if mono_depth is not None:
-            # subsample full-res mono depth with the reference pixel offset
-            # (depth_video.py:94-96) and store as disparity
-            off = self.down // 2 - 1
-            md = jnp.asarray(mono_depth)[off::self.down, off::self.down]
-            md = md[: s.mono_disps.shape[1], : s.mono_disps.shape[2]]
-            s.mono_disps = s.mono_disps.at[idx].set(
-                jnp.where(md > 0, 1.0 / md, 0.0))
-        if intrinsics is not None:
-            s.intrinsics = s.intrinsics.at[idx].set(intrinsics)
-        if fmap is not None:
-            s.fmaps = s.fmaps.at[idx].set(fmap.astype(jnp.bfloat16))
-        if net is not None:
-            s.nets = s.nets.at[idx].set(net)
-        if inp is not None:
-            s.inps = s.inps.at[idx].set(inp)
-        if gt_pose is not None:
-            s.gt_poses = s.gt_poses.at[idx].set(gt_pose)
-        if gt_depth is not None:
-            off = self.down // 2 - 1
-            gd = jnp.asarray(gt_depth)[off::self.down, off::self.down]
-            gd = gd[: s.gt_disps.shape[1], : s.gt_disps.shape[2]]
-            s.gt_disps = s.gt_disps.at[idx].set(
-                jnp.where(gd > 1e-6, 1.0 / jnp.clip(gd, 1e-6), 0.0))
+        """Write one keyframe's fields in a SINGLE device program: eagerly
+        this was ~11 scatter dispatches per keyframe, each paying a
+        compiler/loader RPC under the axon remote tunnel."""
+        fields = ["timestamp"]
+        values = [jnp.asarray(timestamp, jnp.float32)]
+        for name, v in (("images", image), ("poses", pose), ("disps", disp),
+                        ("mono_disps", mono_depth),
+                        ("intrinsics", intrinsics), ("fmaps", fmap),
+                        ("nets", net), ("inps", inp),
+                        ("gt_poses", gt_pose), ("gt_disps", gt_depth)):
+            if v is not None:
+                values.append(jnp.asarray(v))
+                fields.append(name)
+        self.state = _set_item_kernel(self.state, jnp.asarray(idx),
+                                      tuple(values), tuple(fields),
+                                      self.down)
         if idx >= self.counter:
             self.counter = idx + 1
 

@@ -31,6 +31,7 @@ from ..models.droid_net import DroidNet
 from ..ops import corr as corr_ops
 from ..ops import projective as pops
 from .depth_video import reproject_kernel, _pad_idx as _pad_idx_fg
+from ..ops.ba import _geom_bucket
 
 _NET_DTYPE = jnp.float32
 _EDGE_BUCKET = 32
@@ -40,6 +41,35 @@ _CORR_CHUNK = 8
 
 def _round_up(x, m):
     return max(((x + m - 1) // m) * m, m)
+
+
+# -- device edge pools: fixed-shape mutation kernels -------------------------
+
+@partial(jax.jit, static_argnames=("new_bucket",))
+def _pool_resize(buf, new_bucket: int):
+    k = min(buf.shape[0], new_bucket)
+    out = jnp.zeros((new_bucket,) + buf.shape[1:], buf.dtype)
+    return out.at[:k].set(buf[:k])
+
+
+@jax.jit
+def _pool_write(buf, rows, start):
+    """Write a padded row block into buf at (traced) offset start.
+    Caller guarantees start + rows.shape[0] <= buf.shape[0] (else XLA
+    clamps the offset and valid rows would be overwritten)."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        buf, rows.astype(buf.dtype), start, 0)
+
+
+@jax.jit
+def _pool_gather(buf, idx):
+    return buf[jnp.clip(idx, 0, buf.shape[0] - 1)]
+
+
+@jax.jit
+def _pool_conf(weight, h_axis=(1, 2, 3)):
+    """Per-edge mean confidence (small D2H)."""
+    return weight.mean(axis=h_axis)
 
 
 @partial(jax.jit, static_argnames=("num_kf", "num_levels"))
@@ -109,9 +139,10 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
                                    "use_net", "mv_visible_num"))
 def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   mono_disps, depth_scale, depth_shift, valid_small,
-                  gt_poses, gt_disps, net, target_all, weight_all,
-                  ii_act, jj_act, edge_valid_act, ix, uniq_act, plan,
-                  damping_maps, mv_thresh, EP, *, num_kf: int, rounds: int,
+                  gt_poses, gt_disps, net, target_act, weight_act,
+                  target_in, weight_in, ii_act, jj_act, edge_valid_act,
+                  in_valid, ix, uniq_act, plan, damping_maps, mv_thresh,
+                  EP, *, num_kf: int, rounds: int,
                   opt_types: tuple, use_net: bool, mv_visible_num: int):
     """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
 
@@ -120,14 +151,14 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     dispatch path that is the throughput ceiling. The edge set is constant
     within a keyframe's rounds, so the whole loop fuses.
 
-    target_all/weight_all: (N_plan, h, w, 2) rows ordered
-    [active (padded to Na = len(ii_act))..., inactive..., padding] — the
-    active block sits at a FIXED offset 0 so every slice is static by
-    shape and no per-value static argument exists (per-value statics are
-    a fresh XLA program per keyframe — the round-1 compile-count bomb).
-    ii_act/... are the active edges padded to their own GRU bucket; the
-    plan's first Na rows are those same (padded) edges with
-    plan.edge_valid masking the padding.
+    net/target_act/weight_act are the DEVICE edge pools, padded to the
+    pool bucket Na = len(ii_act); rows ≥ the true edge count are garbage
+    and edge_valid_act masks them. target_in/weight_in are the selected
+    inactive rows (own bucket, in_valid mask). The BA sees plan rows
+    ordered [active pool | inactive block | padding] — all offsets static
+    by shape, so no per-keyframe recompiles and (crucially) the pools
+    never cross the host↔device link: the tunnel moves ~39 MB of GRU
+    state per update otherwise.
     opt_types: static tuple of "pose_depth"/"depth_scale" per round.
     Per-keyframe damping lives in damping_maps (buffer-indexed);
     plan.kx rows index straight into it.
@@ -141,8 +172,12 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     h, w = disps.shape[-2:]
     net_out = net
     Na = ii_act.shape[0]
-    target_act = target_all[:Na]
+    Ni = target_in.shape[0]
+    Np = plan.ii.shape[0]
     ev_act = edge_valid_act[:, None, None, None]
+    weight_act = weight_act * ev_act
+    weight_in = weight_in * in_valid[:, None, None, None]
+    tail_t = jnp.zeros((Np - Na - Ni, h, w, 2))
 
     for r in range(rounds):
         # --- update operator on the active edges -------------------------
@@ -164,8 +199,8 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                                           coords_gt.shape)
             upmask = None
 
-        target_all = jnp.concatenate([target_act, target_all[Na:]], 0)
-        weight_all = jnp.concatenate([weight_act, weight_all[Na:]], 0)
+        target_all = jnp.concatenate([target_act, target_in, tail_t], 0)
+        weight_all = jnp.concatenate([weight_act, weight_in, tail_t], 0)
         eta = 0.2 * damping_maps[plan.kx] + EP
 
         if opt_types[r] == "pose_depth":
@@ -214,7 +249,7 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
             up = upsample_disp_uniform(disps[uniq_safe])
         disps_up = disps_up.at[uniq_act].set(up, mode="drop")
 
-    return (poses, disps, disps_up, net_out, target_all, weight_all,
+    return (poses, disps, disps_up, net_out, target_act, weight_act,
             damping_maps, depth_scale, depth_shift, valid_small)
 
 
@@ -236,22 +271,26 @@ class FactorGraph:
         self.h = video.H // video.down
         self.w = video.W // video.down
 
-        # Per-edge state lives in HOST numpy: edge sets mutate with a
-        # different length almost every keyframe, and every eager device
-        # op on a new shape is a fresh XLA program (a remote-compile
-        # round trip under axon). The fused kernels receive bucket-padded
-        # device copies built per call.
+        # Edge bookkeeping (ii/jj/age) is host numpy — it drives control
+        # flow. The per-edge TENSORS (GRU state, targets, weights) live in
+        # DEVICE pools padded to a geometric bucket, mutated only by small
+        # fixed-shape jitted ops (_pool_*): moving them through the host
+        # (39 MB of GRU state per update over the axon tunnel's
+        # ~10-50 MB/s link) cost ~10 s per keyframe, and eager per-length
+        # device ops cost one compiler RPC per new length. Rows at
+        # index ≥ len(self.ii) are garbage; every consumer masks them.
         self.ii = np.zeros(0, np.int64)
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
-        self.net = np.zeros((0, self.h, self.w, 128), np.float32)
-        self.target = np.zeros((0, self.h, self.w, 2), np.float32)
-        self.weight = np.zeros((0, self.h, self.w, 2), np.float32)
+        eb = _EDGE_BUCKET
+        self.net = jnp.zeros((eb, self.h, self.w, 128), _NET_DTYPE)
+        self.target = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
+        self.weight = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
 
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
-        self.target_inac = np.zeros((0, self.h, self.w, 2), np.float32)
-        self.weight_inac = np.zeros((0, self.h, self.w, 2), np.float32)
+        self.target_inac = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
 
@@ -282,39 +321,69 @@ class FactorGraph:
             drop = keep_rank >= (self.max_factors - ii.shape[0])
             self.rm_factors(drop, store=True)
 
-        net = np.asarray(self.video.get_nets(ii), np.float32)
-        target_d, _ = self.video.reproject(ii, jj)
-        target = np.asarray(target_d, np.float32)
-        weight = np.zeros_like(target)
+        k = len(ii)
+        n_old = len(self.ii)
+        kpad_ii, _ = _pad_idx_fg(ii, base=8)
+        kpad_jj, _ = _pad_idx_fg(jj, base=8)
+        KPAD = len(kpad_ii)
+        # grow pools so the padded write block fits past the valid rows
+        need = _geom_bucket(max(n_old + KPAD, 1), _EDGE_BUCKET)
+        if need > self.net.shape[0]:
+            self.net = _pool_resize(self.net, need)
+            self.target = _pool_resize(self.target, need)
+            self.weight = _pool_resize(self.weight, need)
+
+        s = self.video.state
+        ii_j = jnp.asarray(kpad_ii, jnp.int32)
+        jj_j = jnp.asarray(kpad_jj, jnp.int32)
+        nets_new = s.nets[jnp.clip(ii_j, 0, self.video.buffer - 1)]
+        tgt_new, _ = reproject_kernel(s.poses, s.disps, s.intrinsics[0],
+                                      ii_j, jj_j)
+        start = jnp.asarray(n_old)
+        self.net = _pool_write(self.net, nets_new, start)
+        self.target = _pool_write(self.target, tgt_new, start)
+        self.weight = _pool_write(self.weight, jnp.zeros_like(tgt_new),
+                                  start)
 
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros_like(ii)])
-        self.net = np.concatenate([self.net, net], 0)
-        self.target = np.concatenate([self.target, target], 0)
-        self.weight = np.concatenate([self.weight, weight], 0)
 
     def rm_factors(self, mask, store=False):
         mask = np.asarray(mask, bool)
         if mask.sum() == 0:
             return
         if store:
+            ridx = np.where(mask)[0]
+            ridx_pad, r = _pad_idx_fg(ridx, base=8, fill=0)
+            rows_t = _pool_gather(self.target, jnp.asarray(ridx_pad))
+            rows_w = _pool_gather(self.weight, jnp.asarray(ridx_pad))
+            ni_old = len(self.ii_inac)
+            need = _geom_bucket(max(ni_old + len(ridx_pad), 1),
+                                _EDGE_BUCKET)
+            if need > self.target_inac.shape[0]:
+                self.target_inac = _pool_resize(self.target_inac, need)
+                self.weight_inac = _pool_resize(self.weight_inac, need)
+            st_i = jnp.asarray(ni_old)
+            self.target_inac = _pool_write(self.target_inac, rows_t, st_i)
+            self.weight_inac = _pool_write(self.weight_inac, rows_w, st_i)
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
-            self.target_inac = np.concatenate(
-                [self.target_inac, self.target[mask]], 0)
-            self.weight_inac = np.concatenate(
-                [self.weight_inac, self.weight[mask]], 0)
+
+        keep = np.where(~mask)[0]
+        perm = np.zeros(self.net.shape[0], np.int32)
+        perm[:len(keep)] = keep
+        perm_j = jnp.asarray(perm)
+        self.net = _pool_gather(self.net, perm_j)
+        self.target = _pool_gather(self.target, perm_j)
+        self.weight = _pool_gather(self.weight, perm_j)
         self.ii = self.ii[~mask]
         self.jj = self.jj[~mask]
         self.age = self.age[~mask]
-        self.net = self.net[~mask]
-        self.target = self.target[~mask]
-        self.weight = self.weight[~mask]
 
     def filter_edges(self):
         """Remove edges with low confidence (factor_graph.py:83-90)."""
-        conf = self.weight.mean(axis=(1, 2, 3))
+        conf = np.asarray(_pool_conf(self.weight))[:len(self.ii)]
         mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
         self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
         self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
@@ -349,10 +418,14 @@ class FactorGraph:
         self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1,
                                 self.jj_inac)
         if m.any():
+            keep = np.where(~m)[0]
+            perm = np.zeros(self.target_inac.shape[0], np.int32)
+            perm[:len(keep)] = keep
+            perm_j = jnp.asarray(perm)
+            self.target_inac = _pool_gather(self.target_inac, perm_j)
+            self.weight_inac = _pool_gather(self.weight_inac, perm_j)
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
-            self.target_inac = self.target_inac[~m]
-            self.weight_inac = self.weight_inac[~m]
 
         m = (self.ii == ix) | (self.jj == ix)
         self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
@@ -362,17 +435,18 @@ class FactorGraph:
     # -- the update operator (factor_graph.py:226-270) -----------------------
 
     def _padded_edges(self):
-        """Bucket-pad (ii, jj) and build unique-keyframe slots
-        (geometric buckets: log-many compiled shape variants)."""
-        from ..ops.ba import _geom_bucket
+        """(ii, jj) padded to the DEVICE POOL bucket + unique-keyframe
+        slots. The pool bucket is the single source of truth for the
+        active-edge shape so pool tensors feed the kernels directly."""
         n = self.ii.shape[0]
-        Np = _geom_bucket(max(n, 1), _EDGE_BUCKET)
-        ii_p = np.concatenate([self.ii, np.zeros(Np - n, np.int64)])
-        jj_p = np.concatenate([self.jj, np.zeros(Np - n, np.int64)])
+        Np = self.net.shape[0]
+        ii_p = np.zeros(Np, np.int64)
+        jj_p = np.zeros(Np, np.int64)
+        ii_p[:n] = self.ii
+        jj_p[:n] = self.jj
         valid = np.arange(Np) < n
-        from ..ops.ba import _geom_bucket as _gb
         uniq, inv = np.unique(self.ii, return_inverse=True)
-        Mk = _gb(max(len(uniq), 1), _KF_BUCKET)
+        Mk = _geom_bucket(max(len(uniq), 1), _KF_BUCKET)
         ix = np.concatenate([inv, np.full(Np - n, Mk, np.int64)])
         return ii_p, jj_p, valid, ix, uniq, Mk
 
@@ -385,24 +459,17 @@ class FactorGraph:
                                        motion_only, opt_type)
         ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
         n = self.ii.shape[0]
-        Np = len(ii_p)
-        pad = Np - n
-
-        def pad_dev(x):
-            return jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0) if pad else x
 
         s = self.video.state
         net_n, target, weight, eta, upmask, coords1, _ = _update_kernel(
             self.params, s.poses, s.disps, s.intrinsics[0], s.fmaps, s.inps,
-            pad_dev(jnp.asarray(self.net, _NET_DTYPE)),
-            pad_dev(jnp.asarray(self.target)),
+            self.net, self.target,
             jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
             jnp.asarray(valid), jnp.asarray(ix, jnp.int32), Mk)
 
-        self.net = np.asarray(net_n[:n], np.float32)
-        self.target = np.asarray(target[:n], np.float32)
-        self.weight = np.asarray(weight[:n], np.float32)
+        self.net = net_n
+        self.target = target
+        self.weight = weight
 
         # per-keyframe damping (factor_graph.py:250)
         uniq_j = jnp.asarray(uniq)
@@ -412,15 +479,29 @@ class FactorGraph:
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
 
+        # host copies for the (rare) host-driven BA dispatch below
+        # (mono_thres edge filtering is host-side; this path is not the
+        # hot loop — the fused update_rounds is)
+        target_h = np.asarray(target)[:n]
+        weight_h = np.asarray(weight)[:n]
         if use_inactive:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             ii = np.concatenate([self.ii_inac[m], self.ii])
             jj = np.concatenate([self.jj_inac[m], self.jj])
-            target_all = np.concatenate([self.target_inac[m], self.target], 0)
-            weight_all = np.concatenate([self.weight_inac[m], self.weight], 0)
+            sel = np.where(m)[0]
+            t_in = np.asarray(_pool_gather(
+                self.target_inac,
+                jnp.asarray(np.concatenate([sel, [0]]), jnp.int32)))[:-1] \
+                if len(sel) else np.zeros((0, self.h, self.w, 2), np.float32)
+            w_in = np.asarray(_pool_gather(
+                self.weight_inac,
+                jnp.asarray(np.concatenate([sel, [0]]), jnp.int32)))[:-1] \
+                if len(sel) else np.zeros((0, self.h, self.w, 2), np.float32)
+            target_all = np.concatenate([t_in, target_h], 0)
+            weight_all = np.concatenate([w_in, weight_h], 0)
         else:
             ii, jj = self.ii, self.jj
-            target_all, weight_all = self.target, self.weight
+            target_all, weight_all = target_h, weight_h
 
         uniq_all = np.unique(ii)
         damping = 0.2 * self.damping_maps[jnp.asarray(uniq_all)] + EP
@@ -438,30 +519,42 @@ class FactorGraph:
         """GT-flow update: targets from ground-truth geometry, unit
         weights. Same BA dispatch as the learned path."""
         s = self.video.state
-        ii_pad, n_e = _pad_idx_fg(self.ii)
-        jj_pad, _ = _pad_idx_fg(self.jj)
-        ii_j = jnp.asarray(ii_pad, jnp.int32)
+        n_e = len(self.ii)
+        ii_p, jj_p, valid, _, _, _ = self._padded_edges()
+        ii_j = jnp.asarray(ii_p, jnp.int32)
         coords_gt, valid_gt = reproject_kernel(
             s.gt_poses, s.gt_disps, s.intrinsics[0],
-            ii_j, jnp.asarray(jj_pad, jnp.int32))
+            ii_j, jnp.asarray(jj_p, jnp.int32))
         # mask pixels with no GT depth (hole pixels have gt_disp == 0 and
         # would otherwise inject infinite-depth targets at full weight)
         has_depth = (s.gt_disps[ii_j] > 1e-8)[..., None]
-        weight_d = jnp.broadcast_to(valid_gt * has_depth, coords_gt.shape)
-        self.target = np.asarray(coords_gt[:n_e], np.float32)
-        self.weight = np.asarray(weight_d[:n_e], np.float32)
+        ev = jnp.asarray(valid)[:, None, None, None]
+        weight_d = jnp.broadcast_to(valid_gt * has_depth * ev,
+                                    coords_gt.shape)
+        self.target = coords_gt
+        self.weight = weight_d
 
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
+        target_h = np.asarray(coords_gt)[:n_e]
+        weight_h = np.asarray(weight_d)[:n_e]
         if use_inactive:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             ii = np.concatenate([self.ii_inac[m], self.ii])
             jj = np.concatenate([self.jj_inac[m], self.jj])
-            target = np.concatenate([self.target_inac[m], self.target], 0)
-            weight = np.concatenate([self.weight_inac[m], self.weight], 0)
+            sel = np.where(m)[0]
+            if len(sel):
+                sel_j = jnp.asarray(np.concatenate([sel, [0]]), jnp.int32)
+                t_in = np.asarray(_pool_gather(self.target_inac, sel_j))[:-1]
+                w_in = np.asarray(_pool_gather(self.weight_inac, sel_j))[:-1]
+            else:
+                t_in = np.zeros((0, self.h, self.w, 2), np.float32)
+                w_in = np.zeros((0, self.h, self.w, 2), np.float32)
+            target = np.concatenate([t_in, target_h], 0)
+            weight = np.concatenate([w_in, weight_h], 0)
         else:
             ii, jj = self.ii, self.jj
-            target, weight = self.target, self.weight
+            target, weight = target_h, weight_h
         uniq_all = np.unique(ii)
         damping = jnp.full((len(uniq_all), self.h, self.w), 1e-4)
         self.video.ba(target, weight, damping, ii, jj, t0, t1,
@@ -505,29 +598,36 @@ class FactorGraph:
         # scatters) so unique-count changes don't retrigger compilation
         uniq_pad = np.full(Mk, self.video.buffer, np.int64)
         uniq_pad[:len(uniq)] = uniq
-        n_act = len(self.ii)
         Na = len(ii_p)
         if t0 is None:
             t0 = max(1, int(self.ii.min()) + 1)
         if use_inactive:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            sel = np.where(m)[0]
             ii_in = self.ii_inac[m]
             jj_in = self.jj_inac[m]
-            sel = jnp.asarray(np.where(m)[0])
-            t_in = self.target_inac[sel]
-            w_in = self.weight_inac[sel]
         else:
+            sel = np.zeros(0, np.int64)
             ii_in = np.zeros(0, np.int64)
             jj_in = np.zeros(0, np.int64)
-            t_in = jnp.zeros((0, self.h, self.w, 2))
-            w_in = jnp.zeros((0, self.h, self.w, 2))
-        n_inac = len(ii_in)
-        # plan layout: [active block (padded to Na) | inactive]; the
-        # active block at fixed offset 0 keeps every _fused_rounds slice
-        # static-by-shape (no per-keyframe recompiles)
-        ii_all = np.concatenate([ii_p, ii_in])
-        jj_all = np.concatenate([jj_p, jj_in])
-        valid_all = np.concatenate([valid, np.ones(n_inac, bool)])
+        n_inac = len(sel)
+        # inactive rows gathered on DEVICE into their own bucket
+        NiPAD = _geom_bucket(max(n_inac, 1), 16)
+        sel_pad = np.zeros(NiPAD, np.int32)
+        sel_pad[:n_inac] = sel
+        sel_j = jnp.asarray(sel_pad)
+        t_in = _pool_gather(self.target_inac, sel_j)
+        w_in = _pool_gather(self.weight_inac, sel_j)
+        in_valid = np.arange(NiPAD) < n_inac
+        ii_in_p = np.zeros(NiPAD, np.int64)
+        jj_in_p = np.zeros(NiPAD, np.int64)
+        ii_in_p[:n_inac] = ii_in
+        jj_in_p[:n_inac] = jj_in
+        # plan layout: [active pool (Na) | inactive block (NiPAD) | pad];
+        # every offset is static by shape → no per-keyframe recompiles
+        ii_all = np.concatenate([ii_p, ii_in_p])
+        jj_all = np.concatenate([jj_p, jj_in_p])
+        valid_all = np.concatenate([valid, in_valid])
         if t1 is None:
             t1 = int(max(self.ii.max(), self.jj.max(),
                          ii_in.max() if n_inac else 0,
@@ -535,9 +635,9 @@ class FactorGraph:
         from ..ops import ba as ba_ops
         # Shape-bucket floors: without them the (Np, M, P, D) tuple shifts
         # as the graph grows and almost every mapped keyframe compiled a
-        # fresh ~30 s _fused_rounds variant (measured on the TPU tunnel).
-        # Flooring pose/depth at the ring-buffer size makes them constant
-        # (the extra rows are damped no-ops); edges/groups use coarse
+        # fresh ~30 s XLA variant (measured on the TPU tunnel). Flooring
+        # pose/depth at the ring-buffer size makes them constant (the
+        # extra rows are damped no-ops); edges/groups use coarse
         # geometric bases. FLOP cost of the padding is noise on TPU.
         buf = self.video.buffer
         pd_base = min(buf, 128)
@@ -545,32 +645,20 @@ class FactorGraph:
                                      valid=valid_all,
                                      edge_bucket=64, depth_bucket=pd_base,
                                      group_bucket=16, pose_bucket=pd_base)
-        Np = plan.ii.shape[0]
-        target_np = np.zeros((Np, self.h, self.w, 2), np.float32)
-        weight_np = np.zeros((Np, self.h, self.w, 2), np.float32)
-        target_np[:n_act] = self.target
-        weight_np[:n_act] = self.weight
-        if n_inac:
-            target_np[Na:Na + n_inac] = t_in
-            weight_np[Na:Na + n_inac] = w_in
-        target_all = jnp.asarray(target_np)
-        weight_all = jnp.asarray(weight_np)
 
         s = self.video.state
         mv_cfg = self.video.cfg["tracking"]["multiview_filter"]
-        net_np = np.zeros((Na, self.h, self.w, 128), np.float32)
-        net_np[:n_act] = self.net
-        net_p = jnp.asarray(net_np, _NET_DTYPE)
 
-        (poses, disps, disps_up, net_out, target_all, weight_all,
+        (poses, disps, disps_up, net_out, target_act, weight_act,
          damping_maps, depth_scale, depth_shift, valid_small) = \
             _fused_rounds(
                 self.params, s.poses, s.disps, s.disps_up, s.intrinsics[0],
                 s.fmaps, s.inps, s.mono_disps, s.depth_scale,
                 s.depth_shift, s.valid_depth_mask_small, s.gt_poses,
-                s.gt_disps, net_p, target_all, weight_all,
+                s.gt_disps, self.net, self.target, self.weight, t_in, w_in,
                 jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
-                jnp.asarray(valid), jnp.asarray(ix, jnp.int32),
+                jnp.asarray(valid), jnp.asarray(in_valid),
+                jnp.asarray(ix, jnp.int32),
                 jnp.asarray(uniq_pad, jnp.int32), plan, self.damping_maps,
                 mv_cfg["thresh"], EP, num_kf=Mk, rounds=len(opt_types),
                 opt_types=tuple(opt_types), use_net=not self.oracle,
@@ -583,9 +671,10 @@ class FactorGraph:
         s.depth_shift = depth_shift
         s.valid_depth_mask_small = valid_small
         self.damping_maps = damping_maps
-        self.net = np.asarray(net_out[:n_act], np.float32)
-        self.target = np.asarray(target_all[:n_act], np.float32)
-        self.weight = np.asarray(weight_all[:n_act], np.float32)
+        # pool-shaped device outputs: no host round trip
+        self.net = net_out
+        self.target = target_act
+        self.weight = weight_act
         self.age += len(opt_types)
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,

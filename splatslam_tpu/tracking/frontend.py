@@ -42,48 +42,60 @@ class Frontend:
                                  max_factors=self.frontend_max_factors,
                                  oracle=self.oracle)
         self.last_loop_t = -1
+        from ..utils.profiling import PhaseTimers
+        self.timers = PhaseTimers()   # replaced by SLAM's shared timers
 
     def __update(self):
         """Per-keyframe update (frontend.py:54-100)."""
+        T = self.timers
         self.t1 += 1
         if len(self.graph.ii) > 0:
             self.graph.rm_factors(self.graph.age > self.max_age, store=True)
 
-        self.graph.add_proximity_factors(
-            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
-            rad=self.frontend_radius, nms=self.frontend_nms,
-            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+        with T("fe.edges"):
+            self.graph.add_proximity_factors(
+                self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+                rad=self.frontend_radius, nms=self.frontend_nms,
+                thresh=self.frontend_thresh, beta=self.beta, remove=True)
 
-        self.graph.update_rounds(
-            tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
-                  for itr in range(self.iters1)),
-            None, None, use_inactive=True)
+        with T("fe.rounds"):
+            self.graph.update_rounds(
+                tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
+                      for itr in range(self.iters1)),
+                None, None, use_inactive=True)
 
-        d = self.video.distance([self.t1 - 2], [self.t1 - 1],
-                                beta=self.beta, bidirectional=True)
+        with T("fe.dist"):
+            d = self.video.distance([self.t1 - 2], [self.t1 - 1],
+                                    beta=self.beta, bidirectional=True)
 
         if float(d[0]) < self.keyframe_thresh:
-            self.graph.rm_keyframe(self.t1 - 1)
-            self.video.counter -= 1
-            self.t1 -= 1
+            with T("fe.rm_kf"):
+                self.graph.rm_keyframe(self.t1 - 1)
+                self.video.counter -= 1
+                self.t1 -= 1
         else:
             cur_t = self.video.counter
             if self.enable_loop and cur_t > self.frontend_window:
-                _, n_edge = self.loop_closing.loop_ba(
-                    t_start=0, t_end=cur_t, steps=self.iters2,
-                    motion_only=False, local_graph=self.graph,
-                    enable_wq=True)
+                with T("fe.loop_ba"):
+                    _, n_edge = self.loop_closing.loop_ba(
+                        t_start=0, t_end=cur_t, steps=self.iters2,
+                        motion_only=False, local_graph=self.graph,
+                        enable_wq=True)
                 if n_edge == 0:
-                    self.graph.update_rounds(
-                        tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
-                              for itr in range(self.iters2)),
-                        None, None, use_inactive=True)
+                    with T("fe.rounds"):
+                        self.graph.update_rounds(
+                            tuple("pose_depth" if itr % 2 == 0
+                                  else "depth_scale"
+                                  for itr in range(self.iters2)),
+                            None, None, use_inactive=True)
                 self.last_loop_t = cur_t
             else:
-                self.graph.update_rounds(
-                    tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
-                          for itr in range(self.iters2)),
-                    None, None, use_inactive=True)
+                with T("fe.rounds"):
+                    self.graph.update_rounds(
+                        tuple("pose_depth" if itr % 2 == 0
+                              else "depth_scale"
+                              for itr in range(self.iters2)),
+                        None, None, use_inactive=True)
 
         # seed next frame: copy pose, set disparity to the mean
         # (frontend.py:95-96)

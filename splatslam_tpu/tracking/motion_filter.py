@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -19,11 +20,37 @@ from ..ops import projective as pops
 from ..ops import lie
 
 
+def _disp8_np(depth, down, h, w):
+    """Host-side 1/8 subsample of a full-res depth map → disparity.
+    Keeps the per-frame host→device upload at ~5 KB instead of ~300 KB
+    (the tunnel link is the bottleneck, not compute)."""
+    import numpy as np
+    off = down // 2 - 1
+    d = np.asarray(depth)[off::down, off::down][:h, :w]
+    return np.where(d > 1e-6, 1.0 / np.maximum(d, 1e-6), 0.0).astype(
+        np.float32)
+
+
+def _img255(image):
+    """Storage form for VideoState.images (uint8 0-255)."""
+    if image.dtype == jnp.uint8:
+        return image
+    return image * 255.0
+
+
+def _to_float(image):
+    """Accept uint8 (the cheap host→device upload format — the axon
+    tunnel moves ~10-50 MB/s) or float [0,1]."""
+    if image.dtype == jnp.uint8:
+        return image.astype(jnp.float32) / 255.0
+    return image
+
+
 @jax.jit
 def encode_features(params, image):
-    """image (H,W,3) float [0,1] → fmap (h,w,128)."""
+    """image (H,W,3) float [0,1] or uint8 → fmap (h,w,128)."""
     net = DroidNet(dtype=compute_dtype())
-    inputs = normalize_images(image)[None]
+    inputs = normalize_images(_to_float(image))[None]
     return net.apply({"params": params}, inputs,
                      method=DroidNet.features)[0]
 
@@ -31,7 +58,7 @@ def encode_features(params, image):
 @jax.jit
 def encode_context(params, image):
     net = DroidNet(dtype=compute_dtype())
-    inputs = normalize_images(image)[None]
+    inputs = normalize_images(_to_float(image))[None]
     cn, ci = net.apply({"params": params}, inputs, method=DroidNet.context)
     return cn[0].astype(jnp.float32), ci[0].astype(jnp.float32)
 
@@ -42,7 +69,7 @@ def track_kernel(params, image, fmap_last, net_last, inp_last):
     flow-revision magnitude vs the last keyframe in one dispatch
     (motion_filter.py:73-94 runs these as separate launches)."""
     model = DroidNet(dtype=compute_dtype())
-    inputs = normalize_images(image)[None]
+    inputs = normalize_images(_to_float(image))[None]
     gmap = model.apply({"params": params}, inputs,
                        method=DroidNet.features)[0]
     h, w = gmap.shape[:2]
@@ -85,16 +112,13 @@ class MotionFilter:
         self.net = None
         self.inp = None
         self._last_gt = None        # (pose7, disp) of last keyframe
+        from ..utils.profiling import PhaseTimers
+        self.timers = PhaseTimers()  # replaced by SLAM's shared timers
 
-    def _oracle_flow(self, gt_pose, gt_depth, intr8):
+    def _oracle_flow(self, gt_pose, gt_disp8, intr8):
         """Mean GT-induced flow vs the last keyframe (oracle admission)."""
         from .depth_video import frame_distance_kernel
-        off = self.video.down // 2 - 1
-        h = self.video.H // self.video.down
-        w = self.video.W // self.video.down
-        gd = jnp.asarray(gt_depth)[off::self.video.down,
-                                   off::self.video.down][:h, :w]
-        disp = jnp.where(gd > 1e-6, 1.0 / jnp.clip(gd, 1e-6), 0.0)
+        disp = jnp.asarray(gt_disp8)
         last_pose, last_disp = self._last_gt
         poses = jnp.stack([last_pose, jnp.asarray(gt_pose)])
         disps = jnp.stack([last_disp, disp])
@@ -105,45 +129,62 @@ class MotionFilter:
     def track(self, tstamp, image, intrinsics, gt_pose=None, gt_depth=None):
         """image (H,W,3) float [0,1]; intrinsics (4,) full-res;
         gt_pose (7,) w2c + gt_depth (H,W) feed the oracle/eval slots."""
+        T = self.timers
         intr8 = jnp.asarray(intrinsics) / float(self.video.down)
-        if self.video.counter == 0 or self.oracle:
-            gmap = encode_features(self.params, image)
-            delta_mag = None
-        else:
-            gmap, delta_mag = track_kernel(self.params, image, self.fmap,
-                                           self.net, self.inp)
+        h8 = self.video.H // self.video.down
+        w8 = self.video.W // self.video.down
+        gt_disp8 = (_disp8_np(gt_depth, self.video.down, h8, w8)
+                    if gt_depth is not None else None)
+        oracle_gated = (self.oracle and self.video.counter > 0
+                        and gt_pose is not None
+                        and self._last_gt is not None)
+        gmap = None
+        delta_mag = None
+        if self.video.counter == 0 or (self.oracle and not oracle_gated):
+            with T("mf.encode_f"):
+                gmap = encode_features(self.params, image)
+        elif not self.oracle:
+            with T("mf.track_kernel"):
+                gmap, delta_mag = track_kernel(self.params, image, self.fmap,
+                                               self.net, self.inp)
+        # oracle_gated: admission needs only GT flow (a ~5 KB upload);
+        # features are encoded lazily below, only for admitted keyframes
 
         if self.video.counter == 0:
             net, inp = encode_context(self.params, image)
             self.fmap, self.net, self.inp = gmap, net, inp
             mono = self.mono_fn(tstamp, image) if self.mono_fn else None
+            if mono is not None:
+                mono = _disp8_np(mono, self.video.down, h8, w8)
             self.video.append(
-                tstamp, image * 255.0, lie.identity(), 1.0, mono, intr8,
-                gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_depth)
+                tstamp, _img255(image), lie.identity(), 1.0, mono, intr8,
+                gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_disp8)
             if self.oracle and gt_pose is not None:
-                off = self.video.down // 2 - 1
-                h = self.video.H // self.video.down
-                w = self.video.W // self.video.down
-                gd = jnp.asarray(gt_depth)[off::self.video.down,
-                                           off::self.video.down][:h, :w]
                 self._last_gt = (jnp.asarray(gt_pose),
-                                 jnp.where(gd > 1e-6,
-                                           1.0 / jnp.clip(gd, 1e-6), 0.0))
+                                 jnp.asarray(gt_disp8))
             return True
 
         if self.oracle and gt_pose is not None and self._last_gt is not None:
-            delta, disp = self._oracle_flow(gt_pose, gt_depth, intr8)
+            with T("mf.oracle_flow"):
+                delta, disp = self._oracle_flow(gt_pose, gt_disp8, intr8)
         else:
             delta = float(delta_mag)
             disp = None
         if delta > self.thresh:
             self.count = 0
-            net, inp = encode_context(self.params, image)
+            if gmap is None:
+                with T("mf.encode_f"):
+                    gmap = encode_features(self.params, image)
+            with T("mf.encode_c"):
+                net, inp = encode_context(self.params, image)
             self.fmap, self.net, self.inp = gmap, net, inp
             mono = self.mono_fn(tstamp, image) if self.mono_fn else None
-            self.video.append(
-                tstamp, image * 255.0, None, None, mono, intr8,
-                gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_depth)
+            if mono is not None:
+                mono = _disp8_np(mono, self.video.down, h8, w8)
+            with T("mf.append"):
+                self.video.append(
+                    tstamp, _img255(image), None, None, mono, intr8,
+                    gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_disp8)
             if self.oracle and gt_pose is not None:
                 self._last_gt = (jnp.asarray(gt_pose), disp)
             return True

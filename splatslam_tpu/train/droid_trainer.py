@@ -36,17 +36,24 @@ from ..datasets import Synthetic
 
 def make_pair_batch(rng: np.random.RandomState, batch: int, H: int, W: int,
                     fx: float = 80.0):
-    """Render `batch` frame pairs with GT flow at 1/8 resolution."""
+    """Render `batch` frame pairs with GT flow at 1/8 resolution.
+
+    Focal length and motion magnitude are sampled wide so the observed
+    1/8-res flows span ~0.2-8 px — the range the tracker sees at the
+    SLAM resolutions (a narrow motion range trains a net that predicts a
+    constant small delta and never fires the keyframe gate)."""
     imgs1, imgs2, flows, valids = [], [], [], []
     h, w = H // 8, W // 8
     for _ in range(batch):
+        fx_s = float(fx * (0.7 + 1.8 * rng.rand()))
         cfg = {
             "dataset": "synthetic",
-            "cam": {"H": H, "W": W, "fx": fx, "fy": fx, "cx": W / 2 - 0.5,
+            "cam": {"H": H, "W": W, "fx": fx_s, "fy": fx_s,
+                    "cx": W / 2 - 0.5,
                     "cy": H / 2 - 0.5, "H_out": H, "W_out": W,
                     "H_edge": 0, "W_edge": 0},
             "synthetic": {"n_frames": 2, "seed": int(rng.randint(1 << 30)),
-                          "motion_scale": float(0.5 + 2.5 * rng.rand())},
+                          "motion_scale": float(0.5 + 9.5 * rng.rand())},
         }
         ds = Synthetic(cfg)
         _, im1, d1, p1 = ds[0]
@@ -61,7 +68,7 @@ def make_pair_batch(rng: np.random.RandomState, batch: int, H: int, W: int,
         w2c2 = np.linalg.inv(p2)
         poses = jnp.stack([lie.from_matrix(jnp.asarray(w2c1)),
                            lie.from_matrix(jnp.asarray(w2c2))])
-        intr8 = jnp.asarray([fx / 8, fx / 8, (W / 2 - 0.5) / 8,
+        intr8 = jnp.asarray([fx_s / 8, fx_s / 8, (W / 2 - 0.5) / 8,
                              (H / 2 - 0.5) / 8])
         coords, valid = pops.projective_transform(
             poses[None], jnp.asarray(disp8)[None, None].repeat(2, 1),

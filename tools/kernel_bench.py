@@ -133,9 +133,14 @@ def main():
                scaling=0.001, rotation=0.001)
     exp_state = (jnp.zeros((B, 2)), jnp.zeros((B, 2)))
 
+    tau_state = (jnp.zeros((B, 6)), jnp.zeros((B, 6)))
+    pose_mask = jnp.zeros((B,), bool)
+    cam_lrs = (jnp.asarray(5e-4), jnp.asarray(1.5e-3))
+
     def step():
-        return map_step(st, exp_state, w2cs, imgs, deps, expo, use_exp,
-                        cam_valid, intr, lrs, jnp.asarray(1),
+        return map_step(st, exp_state, tau_state, w2cs, imgs, deps, expo,
+                        use_exp, cam_valid, pose_mask, intr, lrs, cam_lrs,
+                        jnp.asarray(1), jnp.asarray(10.0),
                         H=H, W=W, K=256, use_ssim=False, alpha=0.8)
 
     results[f"map_step_12cam_{n_alive}g_ms"] = timeit(step, n=3) * 1e3
