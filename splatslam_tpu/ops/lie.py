@@ -325,3 +325,102 @@ def sim3_act(g: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
     xyz, d = X[..., :3], X[..., 3:4]
     return jnp.concatenate([s * quat_rotate(q, xyz) + d * t, d], axis=-1)
+
+
+def _sim3_W(sigma: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """The Sim(3) translation Jacobian W(σ, φ) = ∫₀¹ e^{uσ} e^{uΦ} du,
+    so that sim3_exp translation t = W τ (lietorch Sim3 semantics;
+    closed form as in Strasdat's Sophus, with Taylor fallbacks).
+
+    With Φ = hat(φ), θ = ‖φ‖, s = e^σ:
+        W = C·I + A·Φ + B·Φ²
+        C = (s − 1)/σ
+        A = (1 − s·cosθ + s·σ·sinc θ) / (σ² + θ²)
+        B = (C − I₂)/θ²,   I₂ = (s(σ·cosθ + θ·sinθ) − σ) / (σ² + θ²)
+    """
+    theta = _safe_norm(phi)
+    s = jnp.exp(sigma)
+    Phi = _hat(phi)
+    Phi2 = Phi @ Phi
+    th2 = theta * theta
+    sig2 = sigma * sigma
+    den = sig2 + th2
+
+    small_sig = jnp.abs(sigma) < 1e-4
+    sig_safe = jnp.where(small_sig, 1.0, sigma)
+    C = jnp.where(small_sig, 1.0 + 0.5 * sigma + sig2 / 6.0,
+                  (s - 1.0) / sig_safe)
+
+    small_den = den < 1e-8
+    den_safe = jnp.where(small_den, 1.0, den)
+    A = jnp.where(
+        small_den,
+        0.5 + sigma / 3.0 - th2 / 24.0,
+        (1.0 - s * jnp.cos(theta) + s * sigma * _sinc(theta)) / den_safe)
+
+    I2 = (s * (sigma * jnp.cos(theta) + theta * jnp.sin(theta)) - sigma) \
+        / den_safe
+    small_th = th2 < 1e-8
+    th2_safe = jnp.where(small_th, 1.0, th2)
+    # θ→0 limit: B = ½∫₀¹ u² e^{uσ} du = (s(σ²−2σ+2) − 2)/(2σ³)
+    B_small_th = jnp.where(
+        small_sig,
+        1.0 / 6.0 + sigma / 8.0 + sig2 / 20.0,
+        (s * (sig2 - 2.0 * sigma + 2.0) - 2.0) / (2.0 * sig_safe ** 3))
+    B = jnp.where(small_th, B_small_th, (C - I2) / th2_safe)
+
+    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), Phi.shape)
+    return (C[..., None, None] * I + A[..., None, None] * Phi
+            + B[..., None, None] * Phi2)
+
+
+def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """sim3 tangent (..., 7) [tau, phi, sigma] → Sim3 8-vec [t, q, s]."""
+    tau, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    q = so3_exp_quat(phi)
+    s = jnp.exp(sigma)
+    W = _sim3_W(sigma, phi)
+    t = jnp.einsum("...ij,...j->...i", W, tau)
+    return jnp.concatenate([t, q, s[..., None]], axis=-1)
+
+
+def sim3_log(g: jnp.ndarray) -> jnp.ndarray:
+    """Sim3 8-vec → sim3 tangent (..., 7) [tau, phi, sigma]."""
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7]
+    phi = so3_log(q)
+    sigma = jnp.log(s)
+    W = _sim3_W(sigma, phi)
+    tau = jnp.linalg.solve(W, t[..., None])[..., 0]
+    return jnp.concatenate([tau, phi, sigma[..., None]], axis=-1)
+
+
+def sim3_retr(g: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Left retraction: exp(xi) ∘ g."""
+    return sim3_mul(sim3_exp(xi), g)
+
+
+def sim3_adjoint(g: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint matrix Adj(g) (..., 7, 7), tangent order [tau, phi, sigma]:
+        [[ sR  hat(t)R  −t ]
+         [ 0     R       0 ]
+         [ 0     0       1 ]]
+    satisfying exp(Adj(g) ξ) = g ∘ exp(ξ) ∘ g⁻¹."""
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7]
+    R = quat_to_matrix(q)
+    tR = _hat(t) @ R
+    Z3 = jnp.zeros_like(R)
+    z31 = jnp.zeros_like(t[..., None])
+    top = jnp.concatenate([s[..., None, None] * R, tR, -t[..., None]], -1)
+    mid = jnp.concatenate([Z3, R, z31], -1)
+    one = jnp.ones_like(s)[..., None, None]
+    bot = jnp.concatenate([jnp.zeros_like(mid[..., :1, :-1]), one], -1)
+    return jnp.concatenate([top, mid, bot], axis=-2)
+
+
+def sim3_to_matrix(g: jnp.ndarray) -> jnp.ndarray:
+    """Sim3 8-vec → homogeneous (..., 4, 4) matrix [[sR, t], [0, 1]]."""
+    t, q, s = g[..., :3], g[..., 3:7], g[..., 7:8]
+    R = quat_to_matrix(q) * s[..., None]
+    top = jnp.concatenate([R, t[..., None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)

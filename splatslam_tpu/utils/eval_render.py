@@ -177,7 +177,8 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
     result = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else None,
         "mean_ssim": float(np.mean(ssims)) if ssims else None,
-        "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else
+        "unavailable (no pretrained AlexNet weights in this environment)",
         "mean_depth_l1": float(np.mean(depth_l1s)) if depth_l1s else None,
         "num_frames": len(psnrs),
     }

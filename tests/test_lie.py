@@ -99,3 +99,68 @@ def test_sim3_action_and_inverse():
     Y = lie.sim3_act(g8, X)
     back = lie.sim3_act(lie.sim3_inv(g8), Y)
     np.testing.assert_allclose(np.asarray(back), np.asarray(X), atol=1e-5)
+
+
+def test_sim3_exp_log_roundtrip():
+    xi = jax.random.normal(jax.random.PRNGKey(13), (8, 7)) * 0.5
+    g = lie.sim3_exp(xi)
+    back = lie.sim3_log(g)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=2e-5)
+
+
+def test_sim3_exp_small_tangent():
+    """Taylor fallbacks: tiny / zero rotation and scale components."""
+    for scale in (0.0, 1e-9, 1e-5):
+        xi = jnp.asarray([0.1, -0.2, 0.3, scale, -scale, scale, scale])
+        g = lie.sim3_exp(xi)
+        assert np.all(np.isfinite(np.asarray(g)))
+        back = lie.sim3_log(g)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xi),
+                                   atol=1e-5)
+    # pure-rotation tangent with zero sigma (den = theta^2 branch)
+    xi = jnp.asarray([0.0, 0.0, 0.0, 0.4, 0.1, -0.2, 0.0])
+    back = lie.sim3_log(lie.sim3_exp(xi))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-5)
+
+
+def test_sim3_exp_reduces_to_se3():
+    """sigma = 0 must reproduce the SE3 exponential."""
+    xi6 = jax.random.normal(jax.random.PRNGKey(14), (5, 6)) * 0.4
+    xi7 = jnp.concatenate([xi6, jnp.zeros((5, 1))], -1)
+    g8 = lie.sim3_exp(xi7)
+    g7 = lie.exp(xi6)
+    np.testing.assert_allclose(np.asarray(g8[:, :7]), np.asarray(g7),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g8[:, 7]), 1.0, atol=1e-6)
+
+
+def test_sim3_compose_matches_matrix_product():
+    xa = jax.random.normal(jax.random.PRNGKey(15), (4, 7)) * 0.3
+    xb = jax.random.normal(jax.random.PRNGKey(16), (4, 7)) * 0.3
+    ga, gb = lie.sim3_exp(xa), lie.sim3_exp(xb)
+    T = np.asarray(lie.sim3_to_matrix(lie.sim3_mul(ga, gb)))
+    expect = np.asarray(lie.sim3_to_matrix(ga)) @ \
+        np.asarray(lie.sim3_to_matrix(gb))
+    np.testing.assert_allclose(T, expect, atol=1e-5)
+
+
+def test_sim3_adjoint_identity():
+    """exp(Adj(g) xi) = g exp(xi) g^-1 on Sim(3)."""
+    g = lie.sim3_exp(jax.random.normal(jax.random.PRNGKey(17), (7,)) * 0.3)
+    xi = jax.random.normal(jax.random.PRNGKey(18), (7,)) * 0.1
+    lhs = lie.sim3_exp(jnp.einsum("ij,j->i", lie.sim3_adjoint(g), xi))
+    rhs = lie.sim3_mul(lie.sim3_mul(g, lie.sim3_exp(xi)), lie.sim3_inv(g))
+    lq = np.asarray(lhs[3:7]) * np.sign(float(lhs[6]))
+    rq = np.asarray(rhs[3:7]) * np.sign(float(rhs[6]))
+    np.testing.assert_allclose(np.asarray(lhs[:3]), np.asarray(rhs[:3]),
+                               atol=2e-3)
+    np.testing.assert_allclose(lq, rq, atol=1e-3)
+    np.testing.assert_allclose(float(lhs[7]), float(rhs[7]), atol=1e-4)
+
+
+def test_sim3_retr():
+    g = lie.sim3_exp(jax.random.normal(jax.random.PRNGKey(19), (7,)) * 0.3)
+    xi = jax.random.normal(jax.random.PRNGKey(20), (7,)) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(lie.sim3_retr(g, xi)),
+        np.asarray(lie.sim3_mul(lie.sim3_exp(xi), g)), atol=1e-6)
