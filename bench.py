@@ -104,7 +104,10 @@ def main():
         state["frames"] = i + 1
         if state["frames"] == state["warm_frames"]:
             state["t_warm_end"] = time.time()
-        emit(partial=True)
+        out = result_line(partial=True)
+        if os.environ.get("BENCH_PHASES"):
+            out["phases"] = slam.timers.as_dict()
+        print(json.dumps(out), flush=True)
 
     t_loop = time.time()
     slam.run(on_frame=on_frame)

@@ -80,36 +80,36 @@ def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
     def loss_fn(params, exposure, taus, dummy):
         opac = jax.nn.sigmoid(params["opacity"])[:, 0]
         scal = jnp.exp(params["scaling"])
-        cols = jnp.clip(G.sh_to_rgb(params["f_dc"]), 0.0, None)
+        if sh_degree > 0:
+            # view-dependent colors: SH evaluated toward each camera
+            # (gaussian_renderer/__init__.py:99-116; render happens at
+            # tau=0, so campos comes straight from w2c)
+            campos = -jnp.einsum("bji,bj->bi", w2cs[:, :3, :3],
+                                 w2cs[:, :3, 3])
+            cols = jax.vmap(
+                lambda cp: sh_ops.sh_colors(sh_degree, params["f_dc"],
+                                            params["f_rest"],
+                                            params["xyz"], cp))(campos)
+        else:
+            cols = jnp.clip(G.sh_to_rgb(params["f_dc"]), 0.0, None)
 
-        def per_cam(carry, args):
-            total = carry
-            w2c, img, dep, expo, use_exp, cv, tau, dmy = args
-            if sh_degree > 0:
-                # view-dependent colors: SH evaluated toward this camera
-                # (gaussian_renderer/__init__.py:99-116; render happens at
-                # tau=0, so campos comes straight from w2c)
-                campos = -w2c[:3, :3].T @ w2c[:3, 3]
-                cols_c = sh_ops.sh_colors(sh_degree, params["f_dc"],
-                                          params["f_rest"],
-                                          params["xyz"], campos)
-            else:
-                cols_c = cols
-            out = rz.rasterize(
-                params["xyz"], scal, params["rotation"], opac, cols_c,
-                st.alive, w2c, tau, intrinsics, bg,
-                means2d_dummy=dmy, H=H, W=W, K=K)
-            image_ab = jnp.where(
-                use_exp, jnp.exp(expo[0]) * out.color + expo[1], out.color)
-            loss = mapping_loss(image_ab, out.depth, img, dep,
-                                alpha=alpha, use_ssim=use_ssim)
-            loss = jnp.where(cv, loss, 0.0)
-            return total + loss, (out.radii * cv, out.n_touched * cv)
-
-        total, (radii, n_touched) = jax.lax.scan(
-            jax.checkpoint(per_cam), 0.0,
-            (w2cs, images, depths, exposure, use_exposure, cam_valid,
-             taus, dummy))
+        # ONE batched render for the whole camera window (binning rides a
+        # single multi-row sort; compositing folds cameras into tiles)
+        out = rz.rasterize_batch(
+            params["xyz"], scal, params["rotation"], opac, cols,
+            st.alive, w2cs, taus, intrinsics, bg,
+            means2d_dummy=dummy, H=H, W=W, K=K)
+        image_ab = jnp.where(
+            use_exposure[:, None, None, None],
+            jnp.exp(exposure[:, 0, None, None, None]) * out.color
+            + exposure[:, 1, None, None, None],
+            out.color)
+        per_cam = jax.vmap(partial(mapping_loss, alpha=alpha,
+                                   use_ssim=use_ssim))(
+            image_ab, out.depth, images, depths)
+        total = jnp.sum(jnp.where(cam_valid, per_cam, 0.0))
+        radii = out.radii * cam_valid[:, None]
+        n_touched = out.n_touched * cam_valid[:, None]
 
         # isotropic scale regularizer (mapper.py:487-489)
         iso = jnp.abs(scal - scal.mean(-1, keepdims=True))

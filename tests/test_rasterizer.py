@@ -143,3 +143,34 @@ def test_tau_moves_camera():
                         INTR, BG, H=CAM["H"], W=CAM["W"], K=64, chunk_k=16)
     np.testing.assert_allclose(np.asarray(out1.color), np.asarray(out2.color),
                                atol=1e-5)
+
+
+def test_batch_matches_single_camera_loop():
+    """rasterize_batch must equal per-camera rasterize calls exactly."""
+    rng = np.random.RandomState(3)
+    N, H, W, K = 96, 32, 48, 32
+    means = jnp.asarray(np.concatenate(
+        [rng.randn(N, 2) * 0.5, 1.5 + rng.rand(N, 1) * 2.0], -1), jnp.float32)
+    scales = jnp.asarray(0.02 + 0.05 * rng.rand(N, 3), jnp.float32)
+    rots = jnp.asarray(rng.randn(N, 4), jnp.float32)
+    rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
+    opac = jnp.asarray(0.2 + 0.7 * rng.rand(N), jnp.float32)
+    cols = jnp.asarray(rng.rand(N, 3), jnp.float32)
+    alive = jnp.asarray(rng.rand(N) > 0.2)
+    intr = jnp.asarray([40.0, 40.0, W / 2, H / 2])
+    B = 3
+    taus = jnp.asarray(rng.randn(B, 6) * 0.02, jnp.float32)
+    w2cs = jnp.stack([jnp.eye(4)] * B)
+    out_b = rz.rasterize_batch(means, scales, rots, opac, cols, alive,
+                               w2cs, taus, intr, jnp.zeros(3),
+                               H=H, W=W, K=K)
+    for b in range(B):
+        out_s = rz.rasterize(means, scales, rots, opac, cols, alive,
+                             w2cs[b], taus[b], intr, jnp.zeros(3),
+                             H=H, W=W, K=K)
+        np.testing.assert_allclose(np.asarray(out_b.color[b]),
+                                   np.asarray(out_s.color), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_b.depth[b]),
+                                   np.asarray(out_s.depth), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out_b.n_touched[b]),
+                                      np.asarray(out_s.n_touched))
