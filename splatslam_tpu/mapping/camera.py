@@ -24,10 +24,13 @@ from ..ops import lie
 @dataclasses.dataclass
 class Camera:
     uid: int
-    image: jnp.ndarray            # (H, W, 3) float [0,1]
-    depth: np.ndarray | None      # (H, W) proxy depth (host, re-fused often)
-    w2c: jnp.ndarray              # (4, 4) current estimate
-    w2c_gt: jnp.ndarray           # (4, 4) from the tracker ("gt" slot in ref)
+    image: jnp.ndarray            # (H, W, 3) float [0,1], device-resident
+    depth: jnp.ndarray | None     # (H, W) proxy depth, device-resident
+    w2c: np.ndarray               # (4, 4) current estimate — HOST numpy:
+    #   the keyframe-window logic (is_keyframe / add_to_window) reads poses
+    #   O(window²) times per keyframe; a device-resident 4×4 would cost one
+    #   ~30 ms link round trip per read
+    w2c_gt: np.ndarray            # (4, 4) from the tracker ("gt" slot in ref)
     exposure_a: float = 0.0
     exposure_b: float = 0.0
 
@@ -40,16 +43,18 @@ class Camera:
         return self.w2c[:3, 3]
 
     def update_RT(self, R, t):
-        w2c = jnp.eye(4)
-        self.w2c = w2c.at[:3, :3].set(R).at[:3, 3].set(t)
+        w2c = np.eye(4, dtype=np.float64)
+        w2c[:3, :3] = np.asarray(R)
+        w2c[:3, 3] = np.asarray(t)
+        self.w2c = w2c
 
     def apply_delta(self, tau):
         """update_pose parity: w2c ← exp([rho, theta]) ∘ w2c, delta reset
         (pose_utils.py:81-98)."""
-        dT = lie.to_matrix(lie.exp(jnp.asarray(tau)))
+        dT = np.asarray(lie.to_matrix(lie.exp(jnp.asarray(tau))))
         self.w2c = dT @ self.w2c
 
 def make_camera(uid, image, depth, w2c):
     return Camera(uid=uid, image=jnp.asarray(image),
-                  depth=np.asarray(depth) if depth is not None else None,
-                  w2c=jnp.asarray(w2c), w2c_gt=jnp.asarray(w2c))
+                  depth=jnp.asarray(depth) if depth is not None else None,
+                  w2c=np.asarray(w2c), w2c_gt=np.asarray(w2c))

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie, rasterizer as rz, sh as sh_ops
-from ..ops.ba import align_scale_and_shift
 from . import gaussians as G
 from .camera import Camera, make_camera
 from .losses import mapping_loss, get_median_depth
@@ -217,65 +216,17 @@ def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
     return jax.lax.fori_loop(0, n_iters, body, init)
 
 
-@jax.jit
 def deform_points(st: G.GaussianState, frame_id, w2c_new, w2c_old,
                   depth_new, depth_old, intrinsics, rigid: jnp.ndarray):
     """Deform the Gaussians anchored to `frame_id` (mapper.py:154-255).
 
-    Non-rigid mode: reproject means into the old camera, rescale depth by
-    the per-pixel change, then apply the relative rigid transform. When
-    `rigid` is True (invalid new depth), only the rigid move is applied.
-    """
-    mask = st.alive & (st.kf_id == frame_id)
-    fx, fy, cx, cy = intrinsics
-    Hd, Wd = depth_new.shape
-
-    means = st.xyz
-    ones = jnp.ones_like(means[:, :1])
-    cam_old = means @ w2c_old[:3, :3].T + w2c_old[:3, 3]
-
-    u = fx * cam_old[:, 0] / jnp.clip(cam_old[:, 2], 1e-6) + cx
-    v = fy * cam_old[:, 1] / jnp.clip(cam_old[:, 2], 1e-6) + cy
-    ui = jnp.clip(u.astype(jnp.int32), 0, Wd - 1)
-    vi = jnp.clip(v.astype(jnp.int32), 0, Hd - 1)
-    d_new = depth_new[vi, ui]
-    d_old = depth_old[vi, ui]
-
-    rescale = 1.0 + (d_new - d_old) / jnp.clip(cam_old[:, 2], 1e-6)
-    bad = (d_new == 0) | (d_old == 0) | (rescale <= 0.0) | rigid
-    rescale = jnp.where(bad, 1.0, rescale)
-
-    cam_scaled = cam_old * rescale[:, None]
-    c2w_old = jnp.linalg.inv(w2c_old)
-    world_scaled = cam_scaled @ c2w_old[:3, :3].T + c2w_old[:3, 3]
-
-    Trel = jnp.linalg.inv(jnp.linalg.inv(w2c_old) @ w2c_new)
-    moved = world_scaled @ Trel[:3, :3].T + Trel[:3, 3]
-
-    new_xyz = jnp.where(mask[:, None], moved, st.xyz)
-
-    # rotate quaternions by the relative transform (wxyz storage)
-    q_rel_xyzw = lie.matrix_to_quat(Trel[:3, :3])
-    q_rel = jnp.concatenate([q_rel_xyzw[3:4], q_rel_xyzw[:3]])
-    w1, x1, y1, z1 = q_rel
-    q = st.rotation
-    w2, x2, y2, z2 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    q_new = jnp.stack([
-        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-    ], -1)
-    new_rot = jnp.where(mask[:, None], q_new, st.rotation)
-    new_scaling = jnp.where(mask[:, None],
-                            st.scaling + jnp.log(rescale)[:, None],
-                            st.scaling)
-
-    st = dataclasses.replace(st, xyz=new_xyz, rotation=new_rot,
-                             scaling=new_scaling)
-    # the reference zeroes the Adam moments of every replaced tensor
-    # (replace_tensor_to_optimizer, mapper.py:172-255)
-    return G._zero_moments(st, mask)
+    Single-keyframe wrapper over fusion.deform_points_batch (one
+    implementation; the batched form is the production path)."""
+    from .fusion import deform_points_batch
+    return deform_points_batch(
+        st, jnp.asarray([frame_id], jnp.int32), w2c_new[None],
+        w2c_old[None], depth_new[None], depth_old[None], intrinsics,
+        jnp.asarray(rigid)[None], jnp.ones((1,), bool))
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +305,7 @@ class Mapper:
         self.video_idxs: list[int] = []
         self.exp_ab: dict[int, np.ndarray] = {}
         self.exp_mv: dict[int, np.ndarray] = {}  # exposure Adam moments
+        self.mono_cache: dict[int, tuple] = {}   # frame_idx → device mono
         self.rng = jax.random.PRNGKey(cfg.get("setup_seed", 43))
         self.initialized = False
         self.first_mapped_uid = None
@@ -364,39 +316,73 @@ class Mapper:
 
     # -- proxy depth fusion (mapper.py:258-301) -----------------------------
 
-    def get_w2c_and_depth(self, video_idx, frame_idx, mono_depth):
-        est_depth, valid_mask, c2w = self.video.get_depth_and_pose(video_idx)
-        w2c = np.linalg.inv(c2w)
-        invalid = valid_mask.sum() < 100
-        est_depth = est_depth.copy()
-        est_depth[~valid_mask] = 0
-        if invalid or mono_depth is None:
-            return est_depth, w2c, invalid or mono_depth is None
+    def _mono_dev(self, frame_idx):
+        """Mono-prior depth as a device-resident array, uploaded once per
+        keyframe (the prior never changes after prediction)."""
+        ent = self.mono_cache.get(frame_idx)
+        if ent is None:
+            mono = self.mono_loader(frame_idx)
+            if mono is None:
+                ent = (jnp.zeros((self.H, self.W), jnp.float32), False)
+            else:
+                ent = (jnp.asarray(mono, jnp.float32), True)
+            self.mono_cache[frame_idx] = ent
+        return ent
 
-        mono = np.asarray(mono_depth, np.float32).copy()
-        mono[mono > 4 * mono.mean()] = 0
-        from scipy.ndimage import binary_erosion
-        binary = (mono > 0).astype(int)
-        it = 5
-        padded = np.pad(binary, it, mode="constant", constant_values=1)
-        eroded = binary_erosion(padded, np.ones((3, 3), int), iterations=it)
-        eroded = eroded[it:-it, it:-it]
-        mono[eroded == 0] = 0
-        if (mono == 0).sum() > 0:
-            import cv2
-            mono = cv2.inpaint(mono, (mono == 0).astype(np.uint8),
-                               inpaintRadius=3, flags=cv2.INPAINT_NS)
-        valid = eroded.astype(bool) & valid_mask
-        sc, sh, _ = align_scale_and_shift(
-            jnp.asarray(mono)[None], jnp.asarray(est_depth)[None],
-            jnp.asarray(valid.astype(np.float32))[None])
-        self.video.state.depth_scale = self.video.state.depth_scale.at[
-            video_idx].set(sc[0])
-        self.video.state.depth_shift = self.video.state.depth_shift.at[
-            video_idx].set(sh[0])
-        mono_wq = mono * float(sc[0]) + float(sh[0])
-        est_depth[~valid_mask] = mono_wq[~valid_mask]
-        return est_depth, w2c, False
+    def refresh_keyframes(self, pairs):
+        """Batched get_w2c_and_depth (mapper.py:258-301) for
+        [(video_idx, frame_idx), ...]: one device gather, one fusion
+        program, one small host pull — instead of per-keyframe host
+        erosion/inpainting with full-res depth round trips.
+
+        Returns {video_idx: (fused_depth (device), w2c (np 4×4),
+                             invalid bool)}.
+        """
+        if not pairs:
+            return {}
+        from . import fusion
+        from ..ops.ba import _geom_bucket
+        D = len(pairs)
+        Dp = _geom_bucket(D, 8)
+        idx_list = [v for v, _ in pairs] + [pairs[0][0]] * (Dp - D)
+        monos, has = [], []
+        for _, f in pairs:
+            m, h = self._mono_dev(f)
+            monos.append(m)
+            has.append(h)
+        monos += [monos[0]] * (Dp - D)
+        has += [has[0]] * (Dp - D)
+
+        s = self.video.state
+        idxs = jnp.asarray(np.asarray(idx_list, np.int32))
+        du, vm, po = fusion.gather_video_slices(
+            s.disps_up, s.valid_depth_mask, s.poses, idxs)
+        fused, w2c, sc, sh, invalid = fusion.fuse_proxy_depth(
+            du, vm, po, jnp.stack(monos), jnp.asarray(has))
+
+        # write the fitted scale/shift back into the tracker state
+        # (depth_video semantics — only rows that actually fused)
+        live = jnp.asarray(np.asarray(has[:D]) , bool) & ~invalid[:D]
+        sel = idxs[:D]
+        s.depth_scale = s.depth_scale.at[sel].set(
+            jnp.where(live, sc[:D], s.depth_scale[sel]))
+        s.depth_shift = s.depth_shift.at[sel].set(
+            jnp.where(live, sh[:D], s.depth_shift[sel]))
+
+        # ONE small host pull for the per-frame scalars + 4×4 poses
+        small = np.asarray(jnp.concatenate(
+            [w2c.reshape(Dp, 16), invalid[:, None].astype(jnp.float32)], 1))
+        out = {}
+        for i, (v, f) in enumerate(pairs):
+            inval = bool(small[i, 16] > 0.5) or not has[i]
+            out[v] = (fused[i], small[i, :16].reshape(4, 4), inval)
+        return out
+
+    def get_w2c_and_depth(self, video_idx, frame_idx, mono_depth=None):
+        """Single-keyframe wrapper over refresh_keyframes (reference
+        get_w2c_and_depth signature; mono comes from the device cache)."""
+        res = self.refresh_keyframes([(video_idx, frame_idx)])
+        return res[video_idx]
 
     # -- anchoring ----------------------------------------------------------
 
@@ -664,25 +650,8 @@ class Mapper:
         random frames (the reference steps the full gaussian optimizer,
         mapper.py:700-707; its loss has no isotropic term and it never
         densifies)."""
-        for video_idx, frame_idx in zip(self.video_idxs, self.keyframe_idxs):
-            mono = self.mono_loader(frame_idx)
-            depth, w2c, invalid = self.get_w2c_and_depth(
-                video_idx, frame_idx, mono)
-            cam = self.cameras[video_idx]
-            w2c_old = np.asarray(cam.w2c)
-            cam.w2c = jnp.asarray(w2c)
-            cam.depth = depth
-            if video_idx in self.viewpoints:
-                self.viewpoints[video_idx].w2c = jnp.asarray(w2c)
-                self.viewpoints[video_idx].depth = depth
-            if self.move_points and self.is_kf.get(video_idx, False):
-                old_d = self.depth_dict.get(video_idx, depth)
-                self.st = deform_points(
-                    self.st, video_idx, jnp.asarray(w2c),
-                    jnp.asarray(w2c_old), jnp.asarray(depth),
-                    jnp.asarray(old_d), self.intrinsics,
-                    jnp.asarray(invalid))
-                self.depth_dict[video_idx] = depth
+        self._refresh_and_deform(
+            list(zip(self.video_idxs, self.keyframe_idxs)))
 
         vps = list(self.viewpoints.values())
         rng = np.random.RandomState(0)
@@ -752,18 +721,68 @@ class Mapper:
 
     # -- main entry (mapper.py:834-1116) -------------------------------------
 
+    def _refresh_and_deform(self, pairs, skip_frame_idx=None):
+        """Refresh poses/depths for `pairs` [(video_idx, frame_idx), ...]
+        and deform the Gaussians anchored to them — the keyframe-refresh
+        loop of mapper.py:1021-1055 (and final_refine's, :621-648), with
+        the per-keyframe host fusion + per-keyframe deform dispatch
+        replaced by ONE batched fusion program and ONE batched deform."""
+        from . import fusion
+        from ..ops.ba import _geom_bucket
+        if not pairs:
+            return
+        res = self.refresh_keyframes(pairs)
+        dirty = self.video.npc_dirty
+        rows = []
+        for v_idx, f_idx in pairs:
+            depth_t, w2c_t, invalid_t = res[v_idx]
+            dirty[v_idx] = False
+            if v_idx not in self.depth_dict and \
+                    self.is_kf.get(v_idx, False):
+                self.depth_dict[v_idx] = depth_t
+            if f_idx == skip_frame_idx:
+                continue
+            camk = self.cameras[v_idx]
+            w2c_old = np.asarray(camk.w2c)
+            camk.w2c = w2c_t
+            camk.depth = depth_t
+            if v_idx in self.viewpoints:
+                self.viewpoints[v_idx].w2c = w2c_t
+                self.viewpoints[v_idx].depth = depth_t
+            if self.move_points and self.is_kf.get(v_idx, False):
+                old_d = self.depth_dict.get(v_idx, depth_t)
+                rows.append((v_idx, w2c_t, w2c_old, depth_t, old_d,
+                             invalid_t))
+                self.depth_dict[v_idx] = depth_t
+        if not rows:
+            return
+        D = len(rows)
+        Dp = _geom_bucket(D, 8)
+        pad = rows[0]
+        rows = rows + [pad] * (Dp - D)
+        self.st = fusion.deform_points_batch(
+            self.st,
+            jnp.asarray(np.asarray([r[0] for r in rows], np.int32)),
+            jnp.asarray(np.stack([r[1] for r in rows])),
+            jnp.asarray(np.stack([r[2] for r in rows])),
+            jnp.stack([jnp.asarray(r[3]) for r in rows]),
+            jnp.stack([jnp.asarray(r[4]) for r in rows]),
+            self.intrinsics,
+            jnp.asarray(np.asarray([bool(r[5]) for r in rows])),
+            jnp.asarray(np.arange(Dp) < D))
+
     def process_keyframe(self, frame_idx, video_idx):
         """Handle one tracker keyframe; returns True if it was mapped."""
         T = self.timers
         with T("map.load"):
             _, color, _, _ = self.dataset[frame_idx]
-            mono = self.mono_loader(frame_idx)
+            self._mono_dev(frame_idx)
         self.keyframe_idxs.append(frame_idx)
         self.video_idxs.append(video_idx)
 
         with T("map.fuse"):
             depth, w2c, invalid = self.get_w2c_and_depth(
-                video_idx, frame_idx, mono)
+                video_idx, frame_idx)
         cam = make_camera(video_idx, color, depth, w2c)
         self.cameras[video_idx] = cam
         if invalid:
@@ -787,8 +806,9 @@ class Mapper:
             out = self.render(cam)
             median_depth = float(get_median_depth(out.depth, out.alpha))
             if not np.isfinite(median_depth):
-                median_depth = float(np.median(depth[depth > 0])) \
-                    if (depth > 0).any() else 1.0
+                d_np = np.asarray(depth)
+                median_depth = float(np.median(d_np[d_np > 0])) \
+                    if (d_np > 0).any() else 1.0
             cur_vis = np.asarray(out.n_touched > 0)
         last_idx = self.current_window[0]
 
@@ -817,34 +837,11 @@ class Mapper:
         last_frame_idx = self.keyframe_idxs[-1]
         dirty = self.video.npc_dirty
         with T("map.deform"):
-            for v_idx, f_idx in zip(self.video_idxs, self.keyframe_idxs):
-                if not dirty[v_idx] and v_idx in self.depth_dict \
-                        and f_idx != last_frame_idx:
-                    continue
-                mono_k = self.mono_loader(f_idx)
-                depth_t, w2c_t, invalid_t = self.get_w2c_and_depth(
-                    v_idx, f_idx, mono_k)
-                dirty[v_idx] = False
-                if v_idx not in self.depth_dict and \
-                        self.is_kf.get(v_idx, False):
-                    self.depth_dict[v_idx] = depth_t
-                if f_idx == last_frame_idx:
-                    continue
-                camk = self.cameras[v_idx]
-                w2c_old = np.asarray(camk.w2c)
-                camk.w2c = jnp.asarray(w2c_t)
-                camk.depth = depth_t
-                if v_idx in self.viewpoints:
-                    self.viewpoints[v_idx].w2c = jnp.asarray(w2c_t)
-                    self.viewpoints[v_idx].depth = depth_t
-                if self.move_points and self.is_kf.get(v_idx, False):
-                    old_d = self.depth_dict.get(v_idx, depth_t)
-                    self.st = deform_points(
-                        self.st, v_idx, jnp.asarray(w2c_t),
-                        jnp.asarray(w2c_old), jnp.asarray(depth_t),
-                        jnp.asarray(old_d), self.intrinsics,
-                        jnp.asarray(invalid_t))
-                    self.depth_dict[v_idx] = depth_t
+            pairs = [(v, f)
+                     for v, f in zip(self.video_idxs, self.keyframe_idxs)
+                     if dirty[v] or v not in self.depth_dict
+                     or f == last_frame_idx]
+            self._refresh_and_deform(pairs, skip_frame_idx=last_frame_idx)
 
         self.viewpoints[video_idx] = cam
         with T("map.anchor"):

@@ -534,16 +534,15 @@ class DepthVideo:
         return est_depth, mask, self.get_pose(index)
 
     def save_video(self, path: str):
-        poses, depths, masks, stamps = [], [], [], []
-        for i in range(self.counter):
-            d, m, p = self.get_depth_and_pose(i)
-            poses.append(p)
-            depths.append(d)
-            masks.append(m)
-            stamps.append(float(self.state.timestamp[i]))
-        np.savez(path, poses=np.stack(poses), depths=np.stack(depths),
-                 timestamps=np.asarray(stamps),
-                 valid_depth_masks=np.stack(masks))
+        n = self.counter
+        # batched device→host pulls (one per array, not per keyframe)
+        depths = np.asarray(1.0 / jnp.clip(self.state.disps_up[:n], 1e-8))
+        masks = np.asarray(self.state.valid_depth_mask[:n])
+        poses = np.asarray(jax.vmap(
+            lambda p: lie.to_matrix(lie.inv(p)))(self.state.poses[:n]))
+        stamps = np.asarray(self.state.timestamp[:n])
+        np.savez(path, poses=poses, depths=depths, timestamps=stamps,
+                 valid_depth_masks=masks)
 
     def get_depth_scale_and_shift(self, index, mono_depth, est_depth, weights):
         scale, shift, _ = ba_ops.align_scale_and_shift(
@@ -556,13 +555,31 @@ class DepthVideo:
         """Proxy-depth L1 vs GT (depth_video.py:401-448)."""
         data = np.load(npz_path)
         stamps = data["timestamps"]
+        n = stamps.shape[0]
+        # batched device→host pulls (one per array, not six per keyframe)
+        masks_all = np.asarray(self.state.valid_depth_mask[:n])
+        disps_all = np.asarray(self.state.disps_up[:n])
+
+        def _align_np(pred, target, w):
+            """Closed-form weighted LSQ on the host (align_scale_and_shift
+            parity; tiny problem, no device round trip)."""
+            a00 = (w * pred * pred).sum()
+            a01 = (w * pred).sum()
+            a11 = w.sum()
+            b0 = (w * pred * target).sum()
+            b1 = (w * target).sum()
+            det = a00 * a11 - a01 * a01
+            if abs(det) < 1e-12:
+                return 1.0, 0.0
+            return ((a11 * b0 - a01 * b1) / det,
+                    (-a01 * b0 + a00 * b1) / det)
+
         l1_list, l1_4m, cover = [], [], []
-        for i in range(stamps.shape[0]):
+        for i in range(n):
             ts = int(stamps[i])
-            mask = np.asarray(self.state.valid_depth_mask[i])
+            mask = masks_all[i]
             cover.append(mask.mean())
-            disp = np.asarray(self.state.disps_up[i])
-            depth = 1.0 / np.clip(disp, 1e-8, None)
+            depth = 1.0 / np.clip(disps_all[i], 1e-8, None)
             depth[~mask] = 0
             depth_gt = np.asarray(stream[ts][2])
             m = (depth_gt > 0) & mask
@@ -574,10 +591,8 @@ class DepthVideo:
                 d = depth.copy()
                 d[~mm] = 0
                 if global_scale is None:
-                    sc, sh, _ = ba_ops.align_scale_and_shift(
-                        jnp.asarray(d)[None], jnp.asarray(depth_gt)[None],
-                        jnp.asarray(mm.astype(np.float32))[None])
-                    d = float(sc[0]) * d + float(sh[0])
+                    sc, sh = _align_np(d, depth_gt, mm.astype(np.float32))
+                    d = sc * d + sh
                 else:
                     d = global_scale * d
                 out.append(np.abs(d[mm] - depth_gt[mm]).mean())
