@@ -338,9 +338,17 @@ class Synthetic(BaseDataset):
         return img, dep
 
     def __getitem__(self, index):
-        c2w = self.poses[index]
-        img, dep = self._render(c2w)
-        return index, img, dep, c2w.astype(np.float32)
+        # frames are procedural + deterministic; cache them (each frame is
+        # read ~3x: tracking, mapper load, eval)
+        cached = getattr(self, "_frame_cache", None)
+        if cached is None:
+            cached = self._frame_cache = {}
+        if index not in cached:
+            c2w = self.poses[index]
+            img, dep = self._render(c2w)
+            cached[index] = (img, dep, c2w.astype(np.float32))
+        img, dep, c2w = cached[index]
+        return index, img, dep, c2w
 
 
 dataset_dict = {

@@ -417,6 +417,33 @@ class Mapper:
             self.st.alive, cam.w2c, jnp.zeros(6), self.intrinsics,
             jnp.zeros(3), H=self.H, W=self.W, K=self.K)
 
+    def render_batch(self, cams):
+        """Render several cameras in ONE program (eval path; binning and
+        compositing batch like the training step). Returns a RenderOutput
+        whose fields are sliced to len(cams)."""
+        B = len(cams)
+        Bp = _round_up(B, 4)
+        w2cs = np.stack([np.asarray(c.w2c) for c in cams]
+                        + [np.eye(4)] * (Bp - B)).astype(np.float32)
+        if self.sh_degree > 0:
+            campos = -np.einsum("bji,bj->bi", w2cs[:, :3, :3],
+                                w2cs[:, :3, 3])
+            cols = jax.vmap(
+                lambda cp: sh_ops.sh_colors(self.sh_degree, self.st.f_dc,
+                                            self.st.f_rest, self.st.xyz,
+                                            cp))(jnp.asarray(campos))
+        else:
+            cols = G.get_colors_dc(self.st)
+        out = rz.rasterize_batch(
+            self.st.xyz, G.get_scaling(self.st), self.st.rotation,
+            G.get_opacity(self.st)[:, 0], cols, self.st.alive,
+            jnp.asarray(w2cs), jnp.zeros((Bp, 6)), self.intrinsics,
+            jnp.zeros(3), H=self.H, W=self.W, K=self.K)
+        return rz.RenderOutput(
+            color=out.color[:B], depth=out.depth[:B], alpha=out.alpha[:B],
+            radii=out.radii[:B], n_touched=out.n_touched[:B],
+            means2d=out.means2d[:B])
+
     # -- optimization loops --------------------------------------------------
 
     def _lrs(self):
@@ -615,13 +642,14 @@ class Mapper:
         if prune:
             out = self._run_iters(cams, 1)
             _, n_touched, _ = out
+            vis_np = np.asarray(n_touched > 0)   # ONE device pull
             self.occ_aware_visibility = {
-                k: np.asarray(n_touched[i] > 0)
-                for i, k in enumerate(window)}
+                k: vis_np[i] for i, k in enumerate(window)}
             if len(window) == self.window_size:
-                n_obs = jnp.zeros(self.st.xyz.shape[0], jnp.int32)
-                for k, vis in self.occ_aware_visibility.items():
-                    n_obs = n_obs + jnp.asarray(vis, jnp.int32)
+                # host sum over the freshly pulled masks, ONE upload back
+                n_obs = jnp.asarray(np.sum(
+                    [self.occ_aware_visibility[k] for k in window],
+                    axis=0, dtype=np.int32))
                 if self.prune_mode == "slam":
                     sorted_w = sorted(window, reverse=True)
                     mask = self.st.kf_id >= sorted_w[2]
@@ -640,8 +668,9 @@ class Mapper:
                              n_window=len(window)),
             opt_poses=self.opt_poses_enabled, n_window=len(window))
         _, n_touched, _ = out
+        vis_np = np.asarray(n_touched > 0)       # ONE device pull
         self.occ_aware_visibility = {
-            k: np.asarray(n_touched[i] > 0) for i, k in enumerate(window)}
+            k: vis_np[i] for i, k in enumerate(window)}
         return True
 
     def final_refine(self, iters=26000):

@@ -288,6 +288,42 @@ def from_matrix(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([t, q], axis=-1)
 
 
+def from_matrix_np(T) -> "np.ndarray":
+    """Host (numpy) version of from_matrix — for per-frame host logic
+    where a device dispatch + fetch would cost a link round trip."""
+    import numpy as np
+    T = np.asarray(T)
+    R = T[:3, :3]
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        qw = (R[2, 1] - R[1, 2]) / s
+        qx = 0.25 * s
+        qy = (R[0, 1] + R[1, 0]) / s
+        qz = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        qw = (R[0, 2] - R[2, 0]) / s
+        qx = (R[0, 1] + R[1, 0]) / s
+        qy = 0.25 * s
+        qz = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        qw = (R[1, 0] - R[0, 1]) / s
+        qx = (R[0, 2] + R[2, 0]) / s
+        qy = (R[1, 2] + R[2, 1]) / s
+        qz = 0.25 * s
+    q = np.array([qx, qy, qz, qw])
+    q = q / np.linalg.norm(q)
+    return np.concatenate([T[:3, 3], q]).astype(np.float32)
+
+
 def normalize(g: jnp.ndarray) -> jnp.ndarray:
     """Renormalize the quaternion part (fp32 drift control)."""
     t, q = g[..., :3], g[..., 3:7]

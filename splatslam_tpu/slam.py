@@ -90,8 +90,11 @@ class SLAM:
                     gt_pose = None
                     if oracle and gt_c2w is not None:
                         from .ops import lie
-                        gt_pose = lie.from_matrix(
-                            jnp.linalg.inv(jnp.asarray(gt_c2w)))
+                        # host-side: the 7-vec feeds per-frame host logic
+                        # (oracle admission) — a device round trip per
+                        # frame would dominate tracking
+                        gt_pose = lie.from_matrix_np(
+                            np.linalg.inv(np.asarray(gt_c2w)))
                 with T("motion_filter"):
                     # uint8 upload: 4x less traffic over the device link
                     img_u8 = jnp.asarray(

@@ -116,15 +116,49 @@ class MotionFilter:
         self.timers = PhaseTimers()  # replaced by SLAM's shared timers
 
     def _oracle_flow(self, gt_pose, gt_disp8, intr8):
-        """Mean GT-induced flow vs the last keyframe (oracle admission)."""
-        from .depth_video import frame_distance_kernel
-        disp = jnp.asarray(gt_disp8)
+        """Mean GT-induced flow vs the last keyframe (oracle admission).
+
+        Pure numpy on the host: the inputs are tiny (two 7-vec poses +
+        a 1/8-res disparity) and a device dispatch + scalar fetch costs
+        ~2 link round trips (~60-100 ms) per frame — more than the whole
+        tracking compute. Mirrors frame_distance_kernel (β = 1)."""
+        from .depth_video import CUDA_MIN_DEPTH
         last_pose, last_disp = self._last_gt
-        poses = jnp.stack([last_pose, jnp.asarray(gt_pose)])
-        disps = jnp.stack([last_disp, disp])
-        d = frame_distance_kernel(poses, disps, intr8,
-                                  jnp.asarray([0]), jnp.asarray([1]), 1.0)
-        return float(d[0]), disp
+        last_pose = np.asarray(last_pose)
+        d_i = np.asarray(last_disp)
+        h, w = d_i.shape
+        fx, fy, cx, cy = [float(x) for x in np.asarray(intr8)]
+
+        def mat(p):
+            t, q = p[:3], p[3:7]   # xyzw
+            x, y, z, qw = q
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - qw * z),
+                 2 * (x * z + qw * y)],
+                [2 * (x * y + qw * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - qw * x)],
+                [2 * (x * z - qw * y), 2 * (y * z + qw * x),
+                 1 - 2 * (x * x + y * y)]])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            return T
+
+        Gij = mat(np.asarray(gt_pose)) @ np.linalg.inv(mat(last_pose))
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        X = (xs - cx) / fx
+        Y = (ys - cy) / fy
+        # homogeneous points (X, Y, 1, d) — SE3 action as in lie.act
+        Pj = (np.stack([X, Y, np.ones_like(X)], -1) @ Gij[:3, :3].T
+              + d_i[..., None] * Gij[:3, 3])
+        u = fx * Pj[..., 0] / Pj[..., 2] + cx
+        v = fy * Pj[..., 1] / Pj[..., 2] + cy
+        dist = np.sqrt((u - xs) ** 2 + (v - ys) ** 2)
+        valid = Pj[..., 2] > CUDA_MIN_DEPTH
+        frac = valid.mean()
+        d = 1000.0 if frac < 0.75 else \
+            float((dist * valid).sum() / max(valid.sum(), 1e-8))
+        return d, gt_disp8
 
     def track(self, tstamp, image, intrinsics, gt_pose=None, gt_depth=None):
         """image (H,W,3) float [0,1]; intrinsics (4,) full-res;
@@ -160,8 +194,7 @@ class MotionFilter:
                 tstamp, _img255(image), lie.identity(), 1.0, mono, intr8,
                 gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_disp8)
             if self.oracle and gt_pose is not None:
-                self._last_gt = (jnp.asarray(gt_pose),
-                                 jnp.asarray(gt_disp8))
+                self._last_gt = (np.asarray(gt_pose), gt_disp8)
             return True
 
         if self.oracle and gt_pose is not None and self._last_gt is not None:
@@ -186,7 +219,7 @@ class MotionFilter:
                     tstamp, _img255(image), None, None, mono, intr8,
                     gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_disp8)
             if self.oracle and gt_pose is not None:
-                self._last_gt = (jnp.asarray(gt_pose), disp)
+                self._last_gt = (np.asarray(gt_pose), disp)
             return True
         self.count += 1
         return False

@@ -49,13 +49,18 @@ def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
     vol = TSDFVolume(lo, hi, voxel=voxel * max(global_scale, 1e-6),
                      trunc=trunc * max(global_scale, 1e-6), max_dim=256)
     intr = np.asarray(mapper.intrinsics)
-    for k, cam in cams:
-        out = mapper.render(cam)
-        d = np.asarray(out.depth)
-        a = np.asarray(out.alpha)
-        d = np.where(a > 0.5, d / np.clip(a, 1e-6, None), 0.0)
-        vol.integrate(d, np.asarray(np.clip(out.color, 0, 1)),
-                      np.asarray(cam.w2c), intr)
+    CH = 8
+    for c0 in range(0, len(cams), CH):
+        chunk = cams[c0:c0 + CH]
+        out = mapper.render_batch([c for _, c in chunk])
+        # one pull per chunk (color+depth+alpha concatenated)
+        d_np = np.asarray(out.depth)
+        a_np = np.asarray(out.alpha)
+        c_np = np.asarray(jnp.clip(out.color, 0, 1))
+        for i, (k, cam) in enumerate(chunk):
+            d = np.where(a_np[i] > 0.5,
+                         d_np[i] / np.clip(a_np[i], 1e-6, None), 0.0)
+            vol.integrate(d, c_np[i], np.asarray(cam.w2c), intr)
     verts, faces = vol.extract_mesh()
     n0 = len(verts)
     verts, faces, _ = clean_mesh(verts, faces)   # eval_utils.py:331-378
@@ -128,48 +133,69 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
     if save_panels:
         os.makedirs(plot_dir, exist_ok=True)
 
+    kfs = [(k, f) for k, f in zip(mapper.video_idxs, mapper.keyframe_idxs)
+           if mapper.is_kf.get(k, False)
+           and (mapper.viewpoints.get(k, mapper.cameras.get(k)) is not None)]
+
     psnrs, ssims, lpipss, depth_l1s = [], [], [], []
     gif_frames = []
-    for kf_idx, frame_idx in zip(mapper.video_idxs, mapper.keyframe_idxs):
-        if not mapper.is_kf.get(kf_idx, False):
-            continue
-        cam = mapper.viewpoints.get(kf_idx, mapper.cameras.get(kf_idx))
-        if cam is None:
-            continue
-        _, gt_color, gt_depth, _ = stream[frame_idx]
-        out = mapper.render(cam)
-        image = out.color
-        if kf_idx != mapper.first_mapped_uid:
-            a, b = mapper.exp_ab.get(kf_idx, np.zeros(2))
-            image = jnp.exp(a) * image + b
-        image = jnp.clip(image, 0.0, 1.0)
-        gt = jnp.asarray(gt_color)
-        mask = gt > 0
-        psnrs.append(float(psnr(image, gt, mask)))
-        ssims.append(float(ssim(image, gt)))
-        if lpips_fn is not None:
-            import torch
-            a_t = torch.from_numpy(np.asarray(image).transpose(2, 0, 1))[None]
-            b_t = torch.from_numpy(np.asarray(gt).transpose(2, 0, 1))[None]
-            lpipss.append(float(lpips_fn(a_t.clamp(0, 1), b_t.clamp(0, 1))))
-        d_l1 = float("nan")
-        if gt_depth is not None:
-            d = np.asarray(out.depth) * global_scale
-            m = (np.asarray(gt_depth) > 0) & (d > 0)
-            if m.sum():
-                d_l1 = float(np.abs(d[m] - np.asarray(gt_depth)[m]).mean())
-                depth_l1s.append(d_l1)
-        if save_panels:
-            gtd = (np.asarray(gt_depth) if gt_depth is not None
-                   else np.zeros(out.depth.shape))
-            plot_rgbd_panel(
-                np.asarray(gt), np.asarray(image), gtd,
-                np.asarray(out.depth) * global_scale, psnrs[-1],
-                0.0 if np.isnan(d_l1) else d_l1,
-                os.path.join(
-                    plot_dir,
-                    f"video_idx_{kf_idx}_kf_idx_{frame_idx}.png"))
-            gif_frames.append(np.asarray(image))
+    # chunked batch rendering: one device program + one scalar pull per
+    # chunk instead of a render dispatch + several fetches per keyframe
+    CH = 8
+    for c0 in range(0, len(kfs), CH):
+        chunk = kfs[c0:c0 + CH]
+        cams = [mapper.viewpoints.get(k, mapper.cameras.get(k))
+                for k, _ in chunk]
+        gts = [stream[f] for _, f in chunk]
+        out = mapper.render_batch(cams)
+        expo = np.asarray([
+            mapper.exp_ab.get(k, np.zeros(2))
+            if k != mapper.first_mapped_uid else np.zeros(2)
+            for k, _ in chunk], np.float32)
+        gt_stack = jnp.asarray(np.stack([np.asarray(g[1]) for g in gts]))
+        images = jnp.clip(
+            jnp.exp(expo[:, 0, None, None, None]) * out.color
+            + expo[:, 1, None, None, None], 0.0, 1.0)
+        B = len(chunk)
+        ps = jnp.stack([psnr(images[i], gt_stack[i], gt_stack[i] > 0)
+                        for i in range(B)])
+        ss = jnp.stack([ssim(images[i], gt_stack[i]) for i in range(B)])
+        scalars = np.asarray(jnp.stack([ps, ss]))     # ONE pull
+        psnrs.extend(scalars[0].tolist())
+        ssims.extend(scalars[1].tolist())
+
+        need_host_images = save_panels or lpips_fn is not None
+        img_np = np.asarray(images) if need_host_images else None
+        dep_np = np.asarray(out.depth) * global_scale   # depth-L1 on host
+
+        for i, (kf_idx, frame_idx) in enumerate(chunk):
+            gt_color, gt_depth = gts[i][1], gts[i][2]
+            if lpips_fn is not None:
+                import torch
+                a_t = torch.from_numpy(
+                    img_np[i].transpose(2, 0, 1))[None]
+                b_t = torch.from_numpy(np.asarray(
+                    gt_color, np.float32).transpose(2, 0, 1))[None]
+                lpipss.append(float(lpips_fn(a_t.clamp(0, 1),
+                                             b_t.clamp(0, 1))))
+            d_l1 = float("nan")
+            if gt_depth is not None:
+                d = dep_np[i]
+                m = (np.asarray(gt_depth) > 0) & (d > 0)
+                if m.sum():
+                    d_l1 = float(np.abs(d[m] - np.asarray(gt_depth)[m])
+                                 .mean())
+                    depth_l1s.append(d_l1)
+            if save_panels:
+                gtd = (np.asarray(gt_depth) if gt_depth is not None
+                       else np.zeros(dep_np[i].shape))
+                plot_rgbd_panel(
+                    np.asarray(gt_color), img_np[i], gtd, dep_np[i],
+                    scalars[0][i], 0.0 if np.isnan(d_l1) else d_l1,
+                    os.path.join(
+                        plot_dir,
+                        f"video_idx_{kf_idx}_kf_idx_{frame_idx}.png"))
+                gif_frames.append(img_np[i])
 
     if save_panels and gif_frames:
         _write_gif(gif_frames, os.path.join(plot_dir, "renders.gif"))

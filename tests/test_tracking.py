@@ -223,3 +223,42 @@ def test_oracle_tracking_recovers_gt_poses(params):
 def lie_to_mat(p):
     from splatslam_tpu.ops import lie
     return lie.to_matrix(p)
+
+
+def test_from_matrix_np_matches_device():
+    from splatslam_tpu.ops import lie
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        g = lie.exp(jnp.asarray(rng.randn(6).astype(np.float32) * 0.8))
+        T = np.asarray(lie.to_matrix(g))
+        got = lie.from_matrix_np(T)
+        ref = np.asarray(lie.from_matrix(jnp.asarray(T)))
+        # quaternion sign is a gauge freedom
+        if np.sign(got[6]) != np.sign(ref[6]):
+            got = np.concatenate([got[:3], -got[3:]])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_oracle_flow_matches_frame_distance_kernel():
+    from splatslam_tpu.ops import lie
+    from splatslam_tpu.tracking.depth_video import frame_distance_kernel
+    from splatslam_tpu.tracking.motion_filter import MotionFilter
+
+    rng = np.random.RandomState(12)
+    h, w = 30, 40
+    intr8 = np.asarray([25.0, 25.0, w / 2, h / 2], np.float32)
+    p0 = np.asarray(lie.exp(jnp.asarray(rng.randn(6).astype(np.float32)
+                                        * 0.05)))
+    p1 = np.asarray(lie.exp(jnp.asarray(rng.randn(6).astype(np.float32)
+                                        * 0.05)))
+    d0 = (0.3 + 0.2 * rng.rand(h, w)).astype(np.float32)
+    d1 = (0.3 + 0.2 * rng.rand(h, w)).astype(np.float32)
+
+    mf = MotionFilter.__new__(MotionFilter)   # no full init needed
+    mf._last_gt = (p0, d0)
+    got, _ = mf._oracle_flow(p1, d1, jnp.asarray(intr8))
+
+    ref = float(frame_distance_kernel(
+        jnp.asarray(np.stack([p0, p1])), jnp.asarray(np.stack([d0, d1])),
+        jnp.asarray(intr8), jnp.asarray([0]), jnp.asarray([1]), 1.0)[0])
+    assert abs(got - ref) < 1e-3 * max(ref, 1.0)
