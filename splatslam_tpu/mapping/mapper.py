@@ -703,8 +703,11 @@ class Mapper:
     def is_keyframe(self, cur_idx, last_idx, cur_vis, occ_vis, median_depth):
         curr = self.cameras[cur_idx]
         last = self.cameras[last_idx]
-        dist = float(jnp.linalg.norm(
-            (curr.w2c @ jnp.linalg.inv(last.w2c))[:3, 3]))
+        # host numpy: w2c are host 4×4s; a jnp round trip here costs a
+        # ~60 ms link RTT per keyframe
+        dist = float(np.linalg.norm(
+            (np.asarray(curr.w2c) @ np.linalg.inv(
+                np.asarray(last.w2c)))[:3, 3]))
         dist_check = dist > self.kf_translation * median_depth
         dist_check2 = dist > self.kf_min_translation * median_depth
         union = np.logical_or(cur_vis, occ_vis[last_idx]).sum()

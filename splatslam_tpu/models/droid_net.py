@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -229,8 +230,13 @@ def compute_dtype():
         else jnp.bfloat16
 
 
-IMAGE_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGE_STD = jnp.asarray([0.229, 0.224, 0.225])
+# HOST constants (np, not jnp): a module-level device array gets captured
+# as a jaxpr constant by every function tracing normalize_images, and the
+# lowering then has to FETCH it to embed it in the HLO — over the tunneled
+# TPU link that one fetch measured 250+ s (it drains the whole async queue)
+# and, worse, makes the compiled-program cache key content-dependent.
+IMAGE_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGE_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def normalize_images(images: jnp.ndarray) -> jnp.ndarray:

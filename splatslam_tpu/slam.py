@@ -72,12 +72,22 @@ class SLAM:
         self.motion_filter.timers = self.timers
         self.trace_dir = cfg.get("profiling", {}).get("trace_dir", None)
 
+        # Open the device→host transfer path NOW: over the tunneled TPU
+        # link the first d2h fetch of a process pays a large one-time
+        # session-establishment cost (measured 100-250 s) — without this
+        # it lands on the first tracking sync point mid-run.
+        import jax
+        np.asarray(jnp.zeros(8) + 1.0)
+
     # -- main loop (tracker.py:47-92 + mapper pipe protocol) ----------------
 
     def run(self, on_frame=None):
         """Main loop. on_frame(i, timestamp, kf_idx) is called after each
         processed frame (used by bench.py for incremental timing)."""
-        intrinsic = jnp.asarray(self.stream.get_intrinsic())
+        # HOST numpy: per-frame consumers (oracle flow, intr8 scaling) are
+        # host logic; a device-resident intrinsic forces a queue-draining
+        # fetch every frame
+        intrinsic = np.asarray(self.stream.get_intrinsic(), np.float32)
         oracle = self.cfg["tracking"].get("oracle", False)
         prev_kf_idx = 0
         prev_ba_idx = 0

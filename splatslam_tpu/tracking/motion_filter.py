@@ -164,7 +164,9 @@ class MotionFilter:
         """image (H,W,3) float [0,1]; intrinsics (4,) full-res;
         gt_pose (7,) w2c + gt_depth (H,W) feed the oracle/eval slots."""
         T = self.timers
-        intr8 = jnp.asarray(intrinsics) / float(self.video.down)
+        # host numpy: consumed by host logic (oracle flow) every frame and
+        # uploaded only on keyframe admission (video.append)
+        intr8 = np.asarray(intrinsics, np.float32) / float(self.video.down)
         h8 = self.video.H // self.video.down
         w8 = self.video.W // self.video.down
         gt_disp8 = (_disp8_np(gt_depth, self.video.down, h8, w8)
