@@ -76,12 +76,19 @@ def project_gaussians(means3D, scales, rotations, w2c, intrinsics, H, W,
 
     w2c (4,4); intrinsics (fx,fy,cx,cy). conic is the upper triangle
     (a, b, c) of the inverse 2D covariance.
+
+    Structure-of-arrays math: everything is (N,)-component products. The
+    matrix form ((N,3,3)/(N,2,3) batched matmuls) pads the 3-wide minor
+    dims to 128-lane TPU tiles — ~40× the memory traffic and tiny
+    MXU-hostile matmuls; this form measured 6× faster on the v5e.
     """
     fx, fy, cx, cy = intrinsics
     R = w2c[:3, :3]
     t = w2c[:3, 3]
-    p_cam = means3D @ R.T + t
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    m0, m1, m2 = means3D[:, 0], means3D[:, 1], means3D[:, 2]
+    x = R[0, 0] * m0 + R[0, 1] * m1 + R[0, 2] * m2 + t[0]
+    y = R[1, 0] * m0 + R[1, 1] * m1 + R[1, 2] * m2 + t[1]
+    z = R[2, 0] * m0 + R[2, 1] * m1 + R[2, 2] * m2 + t[2]
     in_front = z > near
     zc = jnp.where(in_front, z, 1.0)
 
@@ -95,26 +102,50 @@ def project_gaussians(means3D, scales, rotations, w2c, intrinsics, H, W,
     txz = jnp.clip(x / zc, -lim_x, lim_x)
     tyz = jnp.clip(y / zc, -lim_y, lim_y)
 
-    o = jnp.zeros_like(zc)
-    J = jnp.stack([
-        fx / zc, o, -fx * txz / zc,
-        o, fy / zc, -fy * tyz / zc,
-    ], -1).reshape(-1, 2, 3)
+    # rows of A = J @ R_cam, J the 2×3 perspective Jacobian — components
+    j00 = fx / zc
+    j02 = -fx * txz / zc
+    j11 = fy / zc
+    j12 = -fy * tyz / zc
+    a00 = j00 * R[0, 0] + j02 * R[2, 0]
+    a01 = j00 * R[0, 1] + j02 * R[2, 1]
+    a02 = j00 * R[0, 2] + j02 * R[2, 2]
+    a10 = j11 * R[1, 0] + j12 * R[2, 0]
+    a11 = j11 * R[1, 1] + j12 * R[2, 1]
+    a12 = j11 * R[1, 2] + j12 * R[2, 2]
 
-    cov3d = build_covariance(scales, rotations)
-    JR = J @ R
-    cov2d = JR @ cov3d @ JR.transpose(0, 2, 1)
+    # M = R(q)·diag(s); cov2d = (A M)(A M)ᵀ — all (N,) components
+    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+
+    # B = A · R(q): 2×3 of (N,) components; then scale columns by s
+    b00 = (a00 * r00 + a01 * r10 + a02 * r20) * s0
+    b01 = (a00 * r01 + a01 * r11 + a02 * r21) * s1
+    b02 = (a00 * r02 + a01 * r12 + a02 * r22) * s2
+    b10 = (a10 * r00 + a11 * r10 + a12 * r20) * s0
+    b11 = (a10 * r01 + a11 * r11 + a12 * r21) * s1
+    b12 = (a10 * r02 + a11 * r12 + a12 * r22) * s2
+
     # low-pass dilation (anti-aliasing floor), as in the CUDA kernel
-    cov2d = cov2d + 0.3 * jnp.eye(2)
+    c_a = b00 * b00 + b01 * b01 + b02 * b02 + 0.3
+    c_b = b00 * b10 + b01 * b11 + b02 * b12
+    c_c = b10 * b10 + b11 * b11 + b12 * b12 + 0.3
 
-    det = (cov2d[:, 0, 0] * cov2d[:, 1, 1]
-           - cov2d[:, 0, 1] * cov2d[:, 1, 0])
+    det = c_a * c_c - c_b * c_b
     det = jnp.where(det > 1e-12, det, 1e-12)
-    conic = jnp.stack([cov2d[:, 1, 1] / det,
-                       -cov2d[:, 0, 1] / det,
-                       cov2d[:, 0, 0] / det], -1)
+    conic = jnp.stack([c_c / det, -c_b / det, c_a / det], -1)
 
-    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    mid = 0.5 * (c_a + c_c)
     lam1 = mid + jnp.sqrt(jnp.clip(mid * mid - det, 0.1))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
     radius = jnp.where(in_front, radius, 0.0)
@@ -285,46 +316,48 @@ def _composite(tile_ids, pix, packets, chunk_k):
     n_chunks = K // chunk_k
 
     ids_c = tile_ids.reshape(T, n_chunks, chunk_k)
+    # (T, c, P) layout throughout: the pixel axis (P = 256 = 2×128 lanes)
+    # stays minor, so every temporary tiles perfectly. The previous
+    # (T, P, c) form padded the chunk axis (c = 32) to 128 lanes — 4× the
+    # HBM traffic on every elementwise op of the innermost loop.
+    pix_x = pix[:, None, :, 0]                                # (T,1,P)
+    pix_y = pix[:, None, :, 1]
 
     def chunk_body(carry, ids_k):
-        trans, color, depth = carry
+        trans, color, depth = carry                # (T,P) (T,3,P) (T,P)
         pk = packets[jnp.where(ids_k >= 0, ids_k, packets.shape[0] - 1)]
-        mean = pk[..., 0:2]                    # (T,c,2)
-        con = pk[..., 2:5]
-        col = pk[..., 5:8]
-        opa = pk[..., 8]
-        dep = pk[..., 9]
-
-        d = pix[:, :, None, :] - mean[:, None, :, :]          # (T,P,c,2)
-        power = -0.5 * (con[:, None, :, 0] * d[..., 0] ** 2
-                        + con[:, None, :, 2] * d[..., 1] ** 2) \
-            - con[:, None, :, 1] * d[..., 0] * d[..., 1]
-        alpha = jnp.minimum(MAX_ALPHA, opa[:, None, :] * jnp.exp(power))
+        dx = pix_x - pk[..., 0:1]                             # (T,c,P)
+        dy = pix_y - pk[..., 1:2]
+        power = -0.5 * (pk[..., 2:3] * dx * dx
+                        + pk[..., 4:5] * dy * dy) \
+            - pk[..., 3:4] * dx * dy
+        alpha = jnp.minimum(MAX_ALPHA, pk[..., 8:9] * jnp.exp(power))
         alpha = jnp.where((power > 0) | (alpha < ALPHA_MIN) |
-                          (ids_k[:, None, :] < 0), 0.0, alpha)
+                          (ids_k[:, :, None] < 0), 0.0, alpha)
 
-        # sequential transmittance inside the chunk via cumprod
-        one_m = 1.0 - alpha                                    # (T,P,c)
-        cum = jnp.cumprod(one_m, axis=-1)
-        T_before = trans[:, :, None] * jnp.concatenate(
-            [jnp.ones_like(cum[..., :1]), cum[..., :-1]], -1)
+        # sequential transmittance inside the chunk via cumprod over c
+        one_m = 1.0 - alpha                                    # (T,c,P)
+        cum = jnp.cumprod(one_m, axis=1)
+        T_before = trans[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
         w_contrib = alpha * T_before
         # hard stop like CUDA: no contributions once T < T_MIN
         w_contrib = jnp.where(T_before < T_MIN, 0.0, w_contrib)
 
-        color = color + jnp.einsum("tpc,tcd->tpd", w_contrib, col)
-        depth = depth + jnp.sum(w_contrib * dep[:, None, :], -1)
-        trans_new = trans * cum[..., -1]
+        color = color + jnp.einsum("tcp,tcd->tdp", w_contrib,
+                                   pk[..., 5:8])
+        depth = depth + jnp.sum(w_contrib * pk[..., 9:10], 1)
+        trans_new = trans * cum[:, -1]
         # pixels this contributor actually touched (for densify/prune)
-        touched_k = jnp.sum(w_contrib > 0, axis=1).astype(jnp.int32)  # (T,c)
-        return (trans_new, color, depth), touched_k
+        touched_k = jnp.sum(w_contrib > 0, axis=2).astype(jnp.int32)
+        return (trans_new, color, depth), touched_k            # (T,c)
 
     P = pix.shape[1]
-    init = (jnp.ones((T, P)), jnp.zeros((T, P, 3)), jnp.zeros((T, P)))
+    init = (jnp.ones((T, P)), jnp.zeros((T, 3, P)), jnp.zeros((T, P)))
     (trans, color, depth), touched = jax.lax.scan(
         jax.checkpoint(chunk_body), init, ids_c.transpose(1, 0, 2))
     touched = touched.transpose(1, 0, 2).reshape(T, K)  # pixel counts
-    return color, depth, 1.0 - trans, touched
+    return color.transpose(0, 2, 1), depth, 1.0 - trans, touched
 
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "chunk_k", "max_span"))
