@@ -515,9 +515,10 @@ class Mapper:
         tau_m = jnp.zeros((B, 6))
         tau_v = jnp.zeros((B, 6))
         n_opt = min(self.pose_window, n_window) if opt_poses else 0
-        pose_mask = jnp.asarray(
+        pose_mask_host = np.asarray(
             [i < n_opt and cams[i].uid != 0 for i in range(len(cams))]
             + [False] * (B - len(cams)))
+        pose_mask = jnp.asarray(pose_mask_host)
         cam_lrs = (jnp.asarray(0.5 * self.lr_cam_trans),
                    jnp.asarray(0.5 * self.lr_cam_rot))
         last = None
@@ -570,20 +571,22 @@ class Mapper:
             last = (radii, n_touched, loss)
             if densify_cfg is not None:
                 self._handle_host_events(densify_cfg, n_touched)
-        if store_expo:
-            expo_np = np.asarray(expo)
-            for i, c in enumerate(cams):
-                self.exp_ab[c.uid] = expo_np[i]
-        if persist_exp_state:
-            m_np, v_np = np.asarray(exp_m), np.asarray(exp_v)
-            for i, c in enumerate(cams):
-                self.exp_mv[c.uid] = np.stack([m_np[i], v_np[i]])
-        if opt_poses and n_opt:
-            w2cs_np = np.asarray(w2cs)
-            mask_np = np.asarray(pose_mask)
-            for i, c in enumerate(cams):
-                if mask_np[i]:
-                    c.w2c = jnp.asarray(w2cs_np[i])
+        if store_expo or persist_exp_state or (opt_poses and n_opt):
+            # ONE packed device→host pull for all per-camera outputs
+            # (each separate np.asarray costs a ~30 ms link round trip)
+            packed = np.asarray(jnp.concatenate(
+                [expo, exp_m, exp_v, w2cs.reshape(B, 16)], axis=1))
+            if store_expo:
+                for i, c in enumerate(cams):
+                    self.exp_ab[c.uid] = packed[i, 0:2]
+            if persist_exp_state:
+                for i, c in enumerate(cams):
+                    self.exp_mv[c.uid] = np.stack(
+                        [packed[i, 2:4], packed[i, 4:6]])
+            if opt_poses and n_opt:
+                for i, c in enumerate(cams):
+                    if pose_mask_host[i]:
+                        c.w2c = packed[i, 6:22].reshape(4, 4).copy()
         return last
 
     def _handle_host_events(self, d, n_touched):
@@ -836,12 +839,18 @@ class Mapper:
 
         with T("map.render_gate"):
             out = self.render(cam)
-            median_depth = float(get_median_depth(out.depth, out.alpha))
+            # ONE packed pull: [median_depth | n_touched>0] — separate
+            # fetches cost a link round trip each
+            packed = np.asarray(jnp.concatenate(
+                [jnp.reshape(get_median_depth(out.depth, out.alpha),
+                             (1,)).astype(jnp.float32),
+                 (out.n_touched > 0).astype(jnp.float32)]))
+            median_depth = float(packed[0])
             if not np.isfinite(median_depth):
                 d_np = np.asarray(depth)
                 median_depth = float(np.median(d_np[d_np > 0])) \
                     if (d_np > 0).any() else 1.0
-            cur_vis = np.asarray(out.n_touched > 0)
+            cur_vis = packed[1:] > 0.5
         last_idx = self.current_window[0]
 
         create_kf = self.is_keyframe(video_idx, last_idx, cur_vis,

@@ -48,25 +48,6 @@ MAX_ALPHA = 0.99
 
 
 # ---------------------------------------------------------------------------
-# quaternion/scale → 3D covariance
-# ---------------------------------------------------------------------------
-
-def build_covariance(scales: jnp.ndarray, rotations: jnp.ndarray):
-    """Σ = R S Sᵀ Rᵀ from per-Gaussian log-free scales (N,3) and unit
-    quaternions (N,4) stored wxyz like the reference GaussianModel."""
-    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    R = jnp.stack([
-        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
-        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
-        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
-    ], axis=-1).reshape(q.shape[:-1] + (3, 3))
-    S = scales[..., None] * jnp.eye(3)
-    M = R @ S
-    return M @ M.transpose(0, 2, 1)
-
-
-# ---------------------------------------------------------------------------
 # projection + EWA splatting
 # ---------------------------------------------------------------------------
 
@@ -304,40 +285,41 @@ class RenderOutput:
     means2d: jnp.ndarray    # (N, 2) projected centers (for inspection)
 
 
-def _composite(tile_ids, pix, packets, chunk_k):
-    """Front-to-back compositing over per-tile contributor lists.
+def _chunk_alpha(pk, ids_k, pix_x, pix_y):
+    """Per-chunk Gaussian evaluation: returns (dx, dy, alpha_raw, alpha,
+    live) with alpha zeroed for dead contributors (CUDA gating)."""
+    dx = pix_x - pk[..., 0:1]                                 # (T,c,P)
+    dy = pix_y - pk[..., 1:2]
+    power = -0.5 * (pk[..., 2:3] * dx * dx
+                    + pk[..., 4:5] * dy * dy) \
+        - pk[..., 3:4] * dx * dy
+    alpha_raw = pk[..., 8:9] * jnp.exp(power)
+    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+    live = ~((power > 0) | (alpha < ALPHA_MIN)
+             | (ids_k[:, :, None] < 0))
+    return dx, dy, power, alpha_raw, jnp.where(live, alpha, 0.0), live
 
-    tile_ids (T, K); pix (T, P, 2); packets (N+1, 10) rows =
-    [mean2d(2), conic(3), color(3), opacity(1), depth(1)] with a zero row
-    appended for the -1 padding index.
-    Returns color (T,P,3), depth (T,P), alpha (T,P), touched (T,K) bool.
-    """
+
+def _composite_scan(tile_ids, pix, tl, chunk_k, with_residuals):
+    """Shared forward: returns outputs (+ per-chunk entry transmittance
+    when with_residuals, for the hand-written backward)."""
     T, K = tile_ids.shape
     n_chunks = K // chunk_k
-
     ids_c = tile_ids.reshape(T, n_chunks, chunk_k)
+    tl_c = tl.reshape(T, n_chunks, chunk_k, 10)
     # (T, c, P) layout throughout: the pixel axis (P = 256 = 2×128 lanes)
-    # stays minor, so every temporary tiles perfectly. The previous
-    # (T, P, c) form padded the chunk axis (c = 32) to 128 lanes — 4× the
-    # HBM traffic on every elementwise op of the innermost loop.
+    # stays minor, so every temporary tiles perfectly; a (T, P, c) form
+    # pads the 32-wide chunk axis to 128 lanes (4× HBM traffic).
     pix_x = pix[:, None, :, 0]                                # (T,1,P)
     pix_y = pix[:, None, :, 1]
 
-    def chunk_body(carry, ids_k):
+    def chunk_body(carry, xs):
+        ids_k, pk = xs
         trans, color, depth = carry                # (T,P) (T,3,P) (T,P)
-        pk = packets[jnp.where(ids_k >= 0, ids_k, packets.shape[0] - 1)]
-        dx = pix_x - pk[..., 0:1]                             # (T,c,P)
-        dy = pix_y - pk[..., 1:2]
-        power = -0.5 * (pk[..., 2:3] * dx * dx
-                        + pk[..., 4:5] * dy * dy) \
-            - pk[..., 3:4] * dx * dy
-        alpha = jnp.minimum(MAX_ALPHA, pk[..., 8:9] * jnp.exp(power))
-        alpha = jnp.where((power > 0) | (alpha < ALPHA_MIN) |
-                          (ids_k[:, :, None] < 0), 0.0, alpha)
+        _, _, _, _, alpha, _ = _chunk_alpha(pk, ids_k, pix_x, pix_y)
 
         # sequential transmittance inside the chunk via cumprod over c
-        one_m = 1.0 - alpha                                    # (T,c,P)
-        cum = jnp.cumprod(one_m, axis=1)
+        cum = jnp.cumprod(1.0 - alpha, axis=1)                 # (T,c,P)
         T_before = trans[:, None, :] * jnp.concatenate(
             [jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
         w_contrib = alpha * T_before
@@ -350,14 +332,118 @@ def _composite(tile_ids, pix, packets, chunk_k):
         trans_new = trans * cum[:, -1]
         # pixels this contributor actually touched (for densify/prune)
         touched_k = jnp.sum(w_contrib > 0, axis=2).astype(jnp.int32)
-        return (trans_new, color, depth), touched_k            # (T,c)
+        ys = (touched_k, trans) if with_residuals else touched_k
+        return (trans_new, color, depth), ys
 
     P = pix.shape[1]
     init = (jnp.ones((T, P)), jnp.zeros((T, 3, P)), jnp.zeros((T, P)))
-    (trans, color, depth), touched = jax.lax.scan(
-        jax.checkpoint(chunk_body), init, ids_c.transpose(1, 0, 2))
-    touched = touched.transpose(1, 0, 2).reshape(T, K)  # pixel counts
-    return color.transpose(0, 2, 1), depth, 1.0 - trans, touched
+    (trans, color, depth), ys = jax.lax.scan(
+        chunk_body, init,
+        (ids_c.transpose(1, 0, 2), tl_c.transpose(1, 0, 2, 3)))
+    touched = (ys[0] if with_residuals else ys)
+    touched = touched.transpose(1, 0, 2).reshape(T, K)
+    outs = (color.transpose(0, 2, 1), depth, 1.0 - trans, touched)
+    return (outs, ys[1]) if with_residuals else outs
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _composite_core(tile_ids, pix, tl, chunk_k):
+    """Differentiable compositing core over the tile-list tensor
+    tl (T,K,10) (rows = [mean2d(2), conic(3), color(3), opacity(1),
+    depth(1)], zeros at -1 padding slots).
+
+    Custom VJP: XLA's autodiff of the chunked scan (cumprod backward +
+    remat recompute) measured ~10× the forward; the hand-written reverse
+    scan below is the classical 3DGS suffix-sum backward —
+    dL/dαᵢ = T_beforeᵢ·sᵢ + (g_A·T_final − Σ_{j>i} wⱼsⱼ)/(1−αᵢ),
+    computed back-to-front with one carried suffix accumulator.
+    """
+    return _composite_scan(tile_ids, pix, tl, chunk_k, False)
+
+
+def _composite_core_fwd(tile_ids, pix, tl, chunk_k):
+    outs, trans_in = _composite_scan(tile_ids, pix, tl, chunk_k, True)
+    # residuals: chunk-entry transmittance (n_chunks, T, P) + final trans
+    return outs, (tile_ids, pix, tl, trans_in, 1.0 - outs[2])
+
+
+def _composite_core_bwd(chunk_k, res, cts):
+    tile_ids, pix, tl, trans_in, trans_final = res
+    g_color, g_depth, g_alpha_out, _ = cts
+    T, K = tile_ids.shape
+    n_chunks = K // chunk_k
+    ids_c = tile_ids.reshape(T, n_chunks, chunk_k).transpose(1, 0, 2)
+    tl_c = tl.reshape(T, n_chunks, chunk_k, 10).transpose(1, 0, 2, 3)
+    pix_x = pix[:, None, :, 0]
+    pix_y = pix[:, None, :, 1]
+    g_c = g_color.transpose(0, 2, 1)                          # (T,3,P)
+    G = g_alpha_out * trans_final                             # (T,P)
+
+    def chunk_bwd(S_carry, xs):
+        ids_k, pk, tr_in = xs
+        dx, dy, power, alpha_raw, alpha, live = _chunk_alpha(
+            pk, ids_k, pix_x, pix_y)
+        cum = jnp.cumprod(1.0 - alpha, axis=1)
+        T_before = tr_in[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
+        w_live = T_before >= T_MIN
+        w = jnp.where(w_live, alpha * T_before, 0.0)
+
+        # per-contributor pixel scalar sᵢ = colᵢ·g_c + depᵢ·g_d
+        s = jnp.einsum("tdp,tcd->tcp", g_c, pk[..., 5:8]) \
+            + g_depth[:, None, :] * pk[..., 9:10]
+        contrib = w * s                                        # (T,c,P)
+        # suffix over later contributors: within-chunk reversed cumsum
+        rev = jnp.cumsum(contrib[:, ::-1], axis=1)[:, ::-1]
+        S_after = jnp.concatenate(
+            [rev[:, 1:], jnp.zeros_like(rev[:, :1])], 1) + S_carry[:, None]
+
+        galpha = jnp.where(w_live, T_before * s, 0.0) \
+            + (G[:, None] - S_after) / (1.0 - alpha)
+        galpha = jnp.where(live, galpha, 0.0)
+        # through the MAX_ALPHA clamp: dα/dpower = alpha_raw if unclamped
+        g_pow = jnp.where(alpha_raw < MAX_ALPHA,
+                          galpha * alpha_raw, 0.0)
+        g_opa = jnp.where(alpha_raw < MAX_ALPHA,
+                          galpha * jnp.exp(power), 0.0)
+        a_, b_, c_ = pk[..., 2:3], pk[..., 3:4], pk[..., 4:5]
+        g_mx = jnp.sum(g_pow * (a_ * dx + b_ * dy), 2)         # (T,c)
+        g_my = jnp.sum(g_pow * (c_ * dy + b_ * dx), 2)
+        g_ca = jnp.sum(g_pow * (-0.5 * dx * dx), 2)
+        g_cb = jnp.sum(g_pow * (-dx * dy), 2)
+        g_cc = jnp.sum(g_pow * (-0.5 * dy * dy), 2)
+        g_col = jnp.einsum("tcp,tdp->tcd", w, g_c)             # (T,c,3)
+        g_op = jnp.sum(g_opa, 2)
+        g_dep = jnp.sum(w * g_depth[:, None, :], 2)
+        g_tl_k = jnp.concatenate(
+            [g_mx[..., None], g_my[..., None], g_ca[..., None],
+             g_cb[..., None], g_cc[..., None], g_col,
+             g_op[..., None], g_dep[..., None]], -1)           # (T,c,10)
+        return S_carry + rev[:, 0], g_tl_k
+
+    S0 = jnp.zeros_like(G)
+    _, g_tl = jax.lax.scan(chunk_bwd, S0,
+                           (ids_c, tl_c, trans_in), reverse=True)
+    g_tl = g_tl.transpose(1, 0, 2, 3).reshape(T, K, 10)
+    return None, None, g_tl
+
+
+_composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
+
+
+def _composite(tile_ids, pix, packets, chunk_k):
+    """Front-to-back compositing over per-tile contributor lists.
+
+    tile_ids (T, K); pix (T, P, 2); packets (N+1, 10) rows =
+    [mean2d(2), conic(3), color(3), opacity(1), depth(1)] with a zero row
+    appended for the -1 padding index.
+    Returns color (T,P,3), depth (T,P), alpha (T,P), touched (T,K) bool.
+    """
+    # ONE gather into tile-list layout OUTSIDE the differentiable core;
+    # its VJP is a single scatter-add back into the packet rows.
+    tl = packets[jnp.where(tile_ids >= 0, tile_ids,
+                           packets.shape[0] - 1)]             # (T,K,10)
+    return _composite_core(tile_ids, pix, tl, chunk_k)
 
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "chunk_k", "max_span"))

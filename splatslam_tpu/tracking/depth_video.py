@@ -429,22 +429,27 @@ class DepthVideo:
         if opt_type == "depth_scale":
             self.update_valid_depth_mask(up=False)
             curr = self.counter
-            mono = s.mono_disps[:curr]
-            est = s.disps[:curr]
-            valid = s.valid_depth_mask_small[:curr]
+            # bucketed slice: an unbucketed [:curr] recompiles per keyframe
+            nb = min(ba_ops._geom_bucket(max(curr, 1), 16), self.buffer)
+            mono = s.mono_disps[:nb]
+            est = s.disps[:nb]
+            valid = s.valid_depth_mask_small[:nb]
             scale_t, shift_t, err_t = ba_ops.align_scale_and_shift(
                 mono, est, valid)
-            s.depth_scale = s.depth_scale.at[:curr].set(scale_t)
-            s.depth_shift = s.depth_shift.at[:curr].set(shift_t)
-
+            live = jnp.arange(nb) < curr
+            s.depth_scale = s.depth_scale.at[:nb].set(
+                jnp.where(live, scale_t, s.depth_scale[:nb]))
+            s.depth_shift = s.depth_shift.at[:nb].set(
+                jnp.where(live, shift_t, s.depth_shift[:nb]))
             ii_t, jj_t, target_t, weight_t = ii_np, jj_np, target, weight
             if self.mono_thres:
                 # drop edges touching frames with bad mono depth
-                # (depth_video.py:256-276)
-                avg_disps = np.asarray(est.mean(axis=(1, 2)))
-                err_np = np.asarray(err_t)
-                scale_np = np.asarray(scale_t)
-                valid_frac = np.asarray(valid.mean(axis=(1, 2)))
+                # (depth_video.py:256-276); pulls stay bucket-shaped, the
+                # [:curr] trims happen on host numpy
+                avg_disps = np.asarray(est.mean(axis=(1, 2)))[:curr]
+                err_np = np.asarray(err_t)[:curr]
+                scale_np = np.asarray(scale_t)[:curr]
+                valid_frac = np.asarray(valid.mean(axis=(1, 2)))[:curr]
                 bad = ((err_np / np.clip(avg_disps, 1e-8, None) > self.mono_thres)
                        | ~np.isfinite(err_np) | (scale_np < 0)
                        | (valid_frac < 0.5))
@@ -535,12 +540,17 @@ class DepthVideo:
 
     def save_video(self, path: str):
         n = self.counter
-        # batched device→host pulls (one per array, not per keyframe)
-        depths = np.asarray(1.0 / jnp.clip(self.state.disps_up[:n], 1e-8))
-        masks = np.asarray(self.state.valid_depth_mask[:n])
+        # batched device→host pulls (one per array, not per keyframe),
+        # sliced at a geometric bucket so the device programs compile for
+        # O(log buffer) distinct shapes, not one per run length (an
+        # unbucketed [:n] slice = a fresh ~13 s remote compile per run)
+        nb = min(ba_ops._geom_bucket(max(n, 1), 16), self.buffer)
+        depths = np.asarray(
+            1.0 / jnp.clip(self.state.disps_up[:nb], 1e-8))[:n]
+        masks = np.asarray(self.state.valid_depth_mask[:nb])[:n]
         poses = np.asarray(jax.vmap(
-            lambda p: lie.to_matrix(lie.inv(p)))(self.state.poses[:n]))
-        stamps = np.asarray(self.state.timestamp[:n])
+            lambda p: lie.to_matrix(lie.inv(p)))(self.state.poses[:nb]))[:n]
+        stamps = np.asarray(self.state.timestamp[:nb])[:n]
         np.savez(path, poses=poses, depths=depths, timestamps=stamps,
                  valid_depth_masks=masks)
 
@@ -556,9 +566,11 @@ class DepthVideo:
         data = np.load(npz_path)
         stamps = data["timestamps"]
         n = stamps.shape[0]
-        # batched device→host pulls (one per array, not six per keyframe)
-        masks_all = np.asarray(self.state.valid_depth_mask[:n])
-        disps_all = np.asarray(self.state.disps_up[:n])
+        # batched device→host pulls (one per array, not six per keyframe);
+        # bucketed slice length → no per-run-length recompiles
+        nb = min(ba_ops._geom_bucket(max(n, 1), 16), self.buffer)
+        masks_all = np.asarray(self.state.valid_depth_mask[:nb])[:n]
+        disps_all = np.asarray(self.state.disps_up[:nb])[:n]
 
         def _align_np(pred, target, w):
             """Closed-form weighted LSQ on the host (align_scale_and_shift

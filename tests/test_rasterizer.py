@@ -174,3 +174,41 @@ def test_batch_matches_single_camera_loop():
                                    np.asarray(out_s.depth), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(out_b.n_touched[b]),
                                       np.asarray(out_s.n_touched))
+
+
+def test_composite_custom_vjp_matches_autodiff():
+    """The hand-written compositing backward (suffix-sum form) must match
+    autodiff of the same forward scan, for every packet field."""
+    rng = np.random.RandomState(7)
+    T, K, P, ck = 6, 16, 64, 4
+    n_pk = 40
+    ids = rng.randint(-1, n_pk, size=(T, K)).astype(np.int32)
+    pix = jnp.asarray(rng.rand(T, P, 2).astype(np.float32) * 16.0)
+    pk = np.zeros((n_pk + 1, 10), np.float32)
+    pk[:n_pk, 0:2] = rng.rand(n_pk, 2) * 16.0          # mean2d
+    pk[:n_pk, 2] = 0.2 + rng.rand(n_pk)                # conic a
+    pk[:n_pk, 3] = 0.05 * rng.randn(n_pk)              # conic b
+    pk[:n_pk, 4] = 0.2 + rng.rand(n_pk)                # conic c
+    pk[:n_pk, 5:8] = rng.rand(n_pk, 3)                 # color
+    pk[:n_pk, 8] = 0.1 + 0.85 * rng.rand(n_pk)         # opacity
+    pk[:n_pk, 9] = 1.0 + rng.rand(n_pk)                # depth
+    packets = jnp.asarray(pk)
+    ids_j = jnp.asarray(ids)
+
+    cts = (jnp.asarray(rng.randn(T, P, 3).astype(np.float32)),
+           jnp.asarray(rng.randn(T, P).astype(np.float32)),
+           jnp.asarray(rng.randn(T, P).astype(np.float32)))
+
+    def loss_ref(p):
+        tl = p[jnp.where(ids_j >= 0, ids_j, n_pk)]
+        c, d, a, _ = rz._composite_scan(ids_j, pix, tl, ck, False)
+        return (c * cts[0]).sum() + (d * cts[1]).sum() + (a * cts[2]).sum()
+
+    def loss_custom(p):
+        c, d, a, _ = rz._composite(ids_j, pix, p, ck)
+        return (c * cts[0]).sum() + (d * cts[1]).sum() + (a * cts[2]).sum()
+
+    g_ref = jax.grad(loss_ref)(packets)
+    g_cus = jax.grad(loss_custom)(packets)
+    np.testing.assert_allclose(np.asarray(g_cus), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
