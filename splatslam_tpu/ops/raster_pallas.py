@@ -1,0 +1,337 @@
+"""Pallas TPU compositing kernels for the 3DGS rasterizer.
+
+Replaces the XLA chunk-scan compositor (rasterizer._composite_core) on
+TPU. Why a hand-written kernel (measured at 12 cams / 65k Gaussians /
+320×640 / K=256 on a v5e):
+
+  * the XLA path does T·K·P work ALWAYS (static worst case) — 61 ms fwd,
+    ~250 ms bwd — while real tiles average ~10–50 contributors; here the
+    per-tile chunk blocks are PREDICATED (`pl.when`) on the actual
+    contributor count and on transmittance saturation, so skipped chunks
+    cost nothing (the CUDA rasterizer's early termination);
+  * the gradient reduction to per-Gaussian rows was a 2.4M-row XLA
+    scatter-add (~270 ms, cost ∝ rows regardless of validity), and the
+    forward's per-Gaussian n_touched was a second one. The TPU grid
+    executes SEQUENTIALLY on the core, so these kernels accumulate into
+    per-camera VMEM-resident accumulators with plain read-modify-write —
+    no scatter, no atomics. The accumulator IS the revisited output
+    block (zeroed at the camera's first tile, written back automatically
+    at the camera boundary).
+
+Mosaic constraints shape the implementation:
+  * dynamic lane (minor-dim) offsets must be 128-aligned → the chunk
+    loop is STATICALLY UNROLLED (chunk starts are constants) and the
+    per-entry accumulate uses a lane-mask + full-(rows,128)-tile RMW at
+    a dynamic LEADING index: accumulators are (N/128, rows, 128);
+  * jnp.cumprod/cumsum have no lowering → unrolled prefix ops;
+  * iota must be integer.
+
+Data layouts for the (8,128) f32 tile:
+  * tile lists are (B·T, 16, K): fields on sublanes, contributors on
+    lanes. Field order (11 used): [mean_x, mean_y, conic_a, conic_b,
+    conic_c, col_r, col_g, col_b, opacity, depth, gaussian_id (as f32,
+    exact for N ≤ 2²⁴; −1 padding), 0…];
+  * per-tile pixel outputs are (B·T, 8, P) with P = 256 = TILE² lanes.
+
+Reference for the math: the diff-gaussian-rasterization-w-pose CUDA
+forward/backward; the suffix-sum backward is
+  dL/dαᵢ = T_beforeᵢ·sᵢ + (g_A·T_final − Σ_{j>i} wⱼsⱼ)/(1−αᵢ).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 16
+P = TILE * TILE            # pixels per tile (lanes)
+CH = 16                    # contributors per predicated chunk block
+LANES = 128
+ALPHA_MIN = 1.0 / 255.0
+T_MIN = 1e-4
+MAX_ALPHA = 0.99
+
+
+def _prefix_prod(x):
+    """Inclusive prefix product along axis 0 (unrolled; no cumprod
+    lowering in Pallas TPU)."""
+    rows = [x[0:1]]
+    for i in range(1, x.shape[0]):
+        rows.append(rows[-1] * x[i:i + 1])
+    return jnp.concatenate(rows, 0)
+
+
+def _prefix_sum(x):
+    """Inclusive prefix sum along axis 0 (unrolled)."""
+    rows = [x[0:1]]
+    for i in range(1, x.shape[0]):
+        rows.append(rows[-1] + x[i:i + 1])
+    return jnp.concatenate(rows, 0)
+
+
+def _pix_coords(tt, ntx):
+    """Pixel centers of camera-tile `tt`: (1,P) x and y."""
+    ty = tt // ntx
+    tx = tt % ntx
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (tx * TILE + jnp.mod(lane, TILE)).astype(jnp.float32)
+    py = (ty * TILE + lane // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_eval(tl_ref, c0, px, py, count):
+    """Evaluate the static chunk starting at c0: alpha (CH,P) with CUDA
+    gating. tl_ref block is (1, 16, K); c0 is a Python int."""
+    f = tl_ref[0, :, c0:c0 + CH]            # (16, CH) static slice
+    g = lambda r: f[r, :].reshape(CH, 1)
+    mx, my, ca, cb, cc = g(0), g(1), g(2), g(3), g(4)
+    cr, cg, cb_, op, dp = g(5), g(6), g(7), g(8), g(9)
+    gid = f[10, :].reshape(CH, 1)
+    dx = px - mx                             # (CH,P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha_raw = op * jnp.exp(power)
+    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+    kidx = (c0 + jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0))
+    live = ((power <= 0) & (alpha >= ALPHA_MIN) & (kidx < count))
+    alpha = jnp.where(live, alpha, 0.0)
+    return (alpha, alpha_raw, power, live, dx, dy, gid,
+            (mx, my, ca, cb, cc, cr, cg, cb_, op, dp))
+
+
+def _lane_mask(gid):
+    """One-hot (1, LANES) f32 mask for lane gid % LANES."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    return (lane == jnp.mod(gid, LANES)).astype(jnp.float32)
+
+
+def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
+                ntx, n_cam_tiles, K):
+    b = pl.program_id(0)
+    tt = pl.program_id(1)
+    t = b * n_cam_tiles + tt
+    count = jnp.minimum(counts_ref[t], K)
+    px, py = _pix_coords(tt, ntx)
+
+    @pl.when(tt == 0)
+    def _():
+        ntouch_ref[...] = jnp.zeros_like(ntouch_ref)
+
+    # per-tile state scratch: rows 0-2 color, 3 depth, 4 trans
+    st_ref[0:4, :] = jnp.zeros((4, P), jnp.float32)
+    st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
+
+    for c0 in range(0, K, CH):
+        @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
+        def _(c0=c0):
+            trans = st_ref[4:5, :]
+            alpha, _, _, _, _, _, gid, f = _chunk_eval(
+                tl_ref, c0, px, py, count)
+            _, _, _, _, _, cr, cg, cb_, _, dp = f
+            cum = _prefix_prod(1.0 - alpha)                 # (CH,P)
+            t_before = trans * jnp.concatenate(
+                [jnp.ones_like(cum[:1]), cum[:-1]], 0)
+            w = jnp.where(t_before < T_MIN, 0.0, alpha * t_before)
+            st_ref[0:3, :] = st_ref[0:3, :] + jnp.concatenate(
+                [jnp.sum(w * cr, 0, keepdims=True),
+                 jnp.sum(w * cg, 0, keepdims=True),
+                 jnp.sum(w * cb_, 0, keepdims=True)], 0)
+            st_ref[3:4, :] = st_ref[3:4, :] + jnp.sum(
+                w * dp, 0, keepdims=True)
+            st_ref[4:5, :] = trans * cum[-1:]
+
+            # per-Gaussian pixels-touched accumulation (replaces an XLA
+            # segment_sum): lane-masked full-tile RMW at a dynamic
+            # LEADING index; the sequential grid makes RMW race-free
+            touched = jnp.sum((w > 0), axis=1,
+                              keepdims=True).astype(jnp.float32)  # (CH,1)
+            for i in range(CH):
+                gid_i = gid[i, 0].astype(jnp.int32)
+
+                @pl.when((c0 + i < count) & (gid_i >= 0))
+                def _(i=i, gid_i=gid_i):
+                    blk = gid_i // LANES
+                    upd = touched[i:i + 1, :] * _lane_mask(gid_i)
+                    ntouch_ref[0, blk, 0:1, :] = \
+                        ntouch_ref[0, blk, 0:1, :] + upd
+
+    out_ref[0, 0:3, :] = st_ref[0:3, :]
+    out_ref[0, 3:4, :] = st_ref[3:4, :]
+    out_ref[0, 4:5, :] = 1.0 - st_ref[4:5, :]
+    out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
+
+
+def _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref, *,
+                ntx, n_cam_tiles, K):
+    b = pl.program_id(0)
+    tt = pl.program_id(1)
+    t = b * n_cam_tiles + tt
+    count = jnp.minimum(counts_ref[t], K)
+    px, py = _pix_coords(tt, ntx)
+
+    @pl.when(tt == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    g_c0 = gp_ref[0, 0:1, :]
+    g_c1 = gp_ref[0, 1:2, :]
+    g_c2 = gp_ref[0, 2:3, :]
+    g_d = gp_ref[0, 3:4, :]
+    g_a = gp_ref[0, 4:5, :]
+
+    # pass 1: total Σ wᵢsᵢ per pixel + final transmittance
+    # state scratch rows: 4 trans, 5 s_tot, 6 s_prefix
+    st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
+    st_ref[5:6, :] = jnp.zeros((1, P), jnp.float32)
+    for c0 in range(0, K, CH):
+        @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
+        def _(c0=c0):
+            trans = st_ref[4:5, :]
+            alpha, _, _, _, _, _, _, f = _chunk_eval(
+                tl_ref, c0, px, py, count)
+            _, _, _, _, _, cr, cg, cb_, _, dp = f
+            cum = _prefix_prod(1.0 - alpha)
+            t_before = trans * jnp.concatenate(
+                [jnp.ones_like(cum[:1]), cum[:-1]], 0)
+            w = jnp.where(t_before < T_MIN, 0.0, alpha * t_before)
+            s = cr * g_c0 + cg * g_c1 + cb_ * g_c2 + dp * g_d
+            st_ref[5:6, :] = st_ref[5:6, :] + jnp.sum(
+                w * s, 0, keepdims=True)
+            st_ref[4:5, :] = trans * cum[-1:]
+
+    G = g_a * st_ref[4:5, :]                      # g_A · T_final, (1,P)
+    s_tot = st_ref[5:6, :]
+
+    # pass 2: prefix recompute + per-contributor grads + accumulate
+    st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
+    st_ref[6:7, :] = jnp.zeros((1, P), jnp.float32)
+    for c0 in range(0, K, CH):
+        @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
+        def _(c0=c0):
+            trans = st_ref[4:5, :]
+            alpha, alpha_raw, power, live, dx, dy, gid, f = _chunk_eval(
+                tl_ref, c0, px, py, count)
+            _, _, ca, cb, cc, cr, cg, cb_, op, dp = f
+            cum = _prefix_prod(1.0 - alpha)
+            t_before = trans * jnp.concatenate(
+                [jnp.ones_like(cum[:1]), cum[:-1]], 0)
+            w_live = t_before >= T_MIN
+            w = jnp.where(w_live, alpha * t_before, 0.0)
+            s = cr * g_c0 + cg * g_c1 + cb_ * g_c2 + dp * g_d
+            incl = _prefix_sum(w * s)
+            s_after = s_tot - (st_ref[6:7, :] + incl)   # Σ_{j>i} wⱼsⱼ
+            galpha = jnp.where(w_live & live, t_before * s, 0.0) \
+                + jnp.where(live, (G - s_after) / (1.0 - alpha), 0.0)
+            unclamped = alpha_raw < MAX_ALPHA
+            g_pow = jnp.where(live & unclamped, galpha * alpha_raw, 0.0)
+            g_opa = jnp.where(live & unclamped,
+                              galpha * jnp.exp(power), 0.0)
+            r = lambda x: jnp.sum(x, axis=1, keepdims=True)  # → (CH,1)
+            rows = jnp.concatenate([
+                r(g_pow * (ca * dx + cb * dy)),       # d/dmean_x
+                r(g_pow * (cc * dy + cb * dx)),       # d/dmean_y
+                r(g_pow * (-0.5 * dx * dx)),          # d/dconic_a
+                r(g_pow * (-dx * dy)),                # d/dconic_b
+                r(g_pow * (-0.5 * dy * dy)),          # d/dconic_c
+                r(w * g_c0), r(w * g_c1), r(w * g_c2),
+                r(g_opa),                             # d/dopacity
+                r(w * g_d),                           # d/ddepth
+                jnp.zeros((CH, 6), jnp.float32),
+            ], axis=1)                                # (CH, 16)
+            for i in range(CH):
+                gid_i = gid[i, 0].astype(jnp.int32)
+
+                @pl.when((c0 + i < count) & (gid_i >= 0))
+                def _(i=i, gid_i=gid_i):
+                    blk = gid_i // LANES
+                    upd = rows[i, :].reshape(16, 1) * _lane_mask(gid_i)
+                    acc_ref[0, blk] = acc_ref[0, blk] + upd
+            st_ref[4:5, :] = trans * cum[-1:]
+            st_ref[6:7, :] = st_ref[6:7, :] + incl[-1:]
+
+
+def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
+                         interpret=False):
+    """counts (B·T,) int32; tl_T (B·T, 16, K) f32 with per-camera
+    Gaussian ids in row 10 (float, −1 padding).
+    Returns out (B·T, 8, P) [color3, depth, alpha, 0…] and
+    n_touched (B, n_rows//128, 8, 128) f32 (row 0 holds the counts)."""
+    BT, _, K = tl_T.shape
+    NB = n_rows // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_cam_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 16, K),
+                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, P),
+                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 8, LANES), lambda b, t, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+    )
+
+    def kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref):
+        _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref,
+                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K)
+
+    out, ntouch = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((BT, 8, P), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NB, 8, LANES), jnp.float32)),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(counts, tl_T)
+    return out, ntouch
+
+
+def composite_bwd_pallas(counts, tl_T, gpack, B, n_cam_tiles, ntx,
+                         n_rows, interpret=False):
+    """Gradient accumulation kernel.
+
+    counts (B·T,) int32; tl_T (B·T,16,K) with ids in row 10;
+    gpack (B·T, 8, P) rows = [g_color(3), g_depth, g_alpha, 0…].
+    Returns acc (B, n_rows//128, 16, 128): per-camera blocked
+    per-Gaussian gradient rows (n_rows multiple of 128).
+    """
+    BT, _, K = tl_T.shape
+    NB = n_rows // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_cam_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 16, K),
+                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P),
+                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NB, 16, LANES),
+                               lambda b, t, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
+    )
+
+    def kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref):
+        _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref,
+                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K)
+
+    acc = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, NB, 16, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(counts, tl_T, gpack)
+    return acc

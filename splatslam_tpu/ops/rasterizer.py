@@ -446,6 +446,94 @@ def _composite(tile_ids, pix, packets, chunk_k):
     return _composite_core(tile_ids, pix, tl, chunk_k)
 
 
+# ---------------------------------------------------------------------------
+# Pallas compositing path (TPU): dynamic per-tile trip counts, early
+# termination, and scatter-free gradient/touch accumulation. See
+# ops/raster_pallas.py for the kernels and the design rationale.
+# ---------------------------------------------------------------------------
+
+_PALLAS_MAX_ROWS = 1 << 17   # VMEM accumulator cap: (16, N) f32 ≤ 8.4 MB
+
+
+def _pallas_ok(n_rows: int) -> bool:
+    import os
+    if os.environ.get("SPLATSLAM_NO_PALLAS"):
+        return False
+    if n_rows > _PALLAS_MAX_ROWS or n_rows % 128:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pallas_prep(tile_ids, counts, packets):
+    """Gather per-camera packets into the (B·T, 16, K) tile-list layout
+    (row 10 carries the per-camera Gaussian id as float, −1 padding)."""
+    B, T, K = tile_ids.shape
+    N = packets.shape[1]
+    packets_pad = jnp.concatenate(
+        [packets, jnp.zeros((B, 1, 10), packets.dtype)], 1)
+    idsafe = jnp.where(tile_ids >= 0, tile_ids, N)
+    tl = jnp.take_along_axis(
+        packets_pad, idsafe.reshape(B, T * K)[..., None],
+        axis=1).reshape(B * T, K, 10)
+    ids_f = tile_ids.reshape(B * T, K, 1).astype(tl.dtype)
+    tl_T = jnp.concatenate(
+        [tl, ids_f, jnp.zeros((B * T, K, 5), tl.dtype)],
+        -1).transpose(0, 2, 1)
+    return tl_T, counts.reshape(B * T).astype(jnp.int32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _composite_tiles_pallas(tile_ids, counts, packets, ntx, n_cam_tiles):
+    """tile_ids (B,T,K) per-camera ids; counts (B,T); packets (B,N,10).
+    Returns color (B·T,P,3), depth (B·T,P), alpha (B·T,P),
+    n_touched (B,N) int32."""
+    from . import raster_pallas as rp
+    B, T, K = tile_ids.shape
+    N = packets.shape[1]
+    tl_T, counts_flat = _pallas_prep(tile_ids, counts, packets)
+    out, ntouch = rp.composite_fwd_pallas(
+        counts_flat, tl_T, B, n_cam_tiles, ntx, N)
+    nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
+    return (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],
+            out[:, 4, :], nt)
+
+
+def _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles):
+    from . import raster_pallas as rp
+    B, T, K = tile_ids.shape
+    N = packets.shape[1]
+    tl_T, counts_flat = _pallas_prep(tile_ids, counts, packets)
+    out, ntouch = rp.composite_fwd_pallas(
+        counts_flat, tl_T, B, n_cam_tiles, ntx, N)
+    nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
+    outs = (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],
+            out[:, 4, :], nt)
+    return outs, (tl_T, counts_flat, B, N)
+
+
+def _ctp_bwd(ntx, n_cam_tiles, res, cts):
+    from . import raster_pallas as rp
+    tl_T, counts_flat, B, N = res
+    g_color, g_depth, g_alpha, _ = cts
+    BT = tl_T.shape[0]
+    Pp = g_color.shape[1]
+    gpack = jnp.concatenate(
+        [g_color.transpose(0, 2, 1), g_depth[:, None, :],
+         g_alpha[:, None, :], jnp.zeros((BT, 3, Pp), g_color.dtype)], 1)
+    acc = rp.composite_bwd_pallas(
+        counts_flat, tl_T, gpack, B, n_cam_tiles, ntx, N)
+    # (B, N/128, 16, 128) blocked → (B, N, 10)
+    acc = acc.transpose(0, 2, 1, 3).reshape(B, 16, N)
+    grad_packets = acc[:, :10, :].transpose(0, 2, 1)
+    return None, None, grad_packets
+
+
+_composite_tiles_pallas.defvjp(_ctp_fwd, _ctp_bwd)
+
+
 @partial(jax.jit, static_argnames=("H", "W", "K", "chunk_k", "max_span"))
 def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
                     w2cs, taus, intrinsics, bg, means2d_dummy=None, *,
@@ -496,18 +584,31 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
         jnp.broadcast_to(jnp.clip(opacities, 0.0, 1.0)[None, :, None],
                          (B, N, 1)),
         depth_z[..., None]], -1)                               # (B, N, 10)
-    # fold cameras into the tile axis: one zero row appended globally for
-    # the -1 padding lookups
-    packets_flat = jnp.concatenate(
-        [packets.reshape(B * N, 10), jnp.zeros((1, 10), packets.dtype)], 0)
-    cam_off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
-    ids_glob = jnp.where(tile_ids >= 0, tile_ids + cam_off, -1)
 
-    pix = _tile_pixel_grid(n_tiles_x, n_tiles_y)
-    pix_b = jnp.broadcast_to(pix[None], (B,) + pix.shape).reshape(
-        B * T, -1, 2)
-    color_t, depth_t, alpha_t, touched_t = _composite(
-        ids_glob.reshape(B * T, K), pix_b, packets_flat, chunk_k)
+    if _pallas_ok(N):
+        color_t, depth_t, alpha_t, n_touched = _composite_tiles_pallas(
+            tile_ids, tile_counts, packets, n_tiles_x, T)
+        n_touched = jax.lax.stop_gradient(n_touched)
+    else:
+        # XLA fallback (CPU tests / capacities beyond the VMEM cap):
+        # fold cameras into the tile axis, one zero row appended globally
+        # for the -1 padding lookups
+        packets_flat = jnp.concatenate(
+            [packets.reshape(B * N, 10),
+             jnp.zeros((1, 10), packets.dtype)], 0)
+        cam_off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+        ids_glob = jnp.where(tile_ids >= 0, tile_ids + cam_off, -1)
+
+        pix = _tile_pixel_grid(n_tiles_x, n_tiles_y)
+        pix_b = jnp.broadcast_to(pix[None], (B,) + pix.shape).reshape(
+            B * T, -1, 2)
+        color_t, depth_t, alpha_t, touched_t = _composite(
+            ids_glob.reshape(B * T, K), pix_b, packets_flat, chunk_k)
+        flat_ids = jnp.where(ids_glob >= 0, ids_glob, B * N).reshape(-1)
+        n_touched = jax.ops.segment_sum(
+            touched_t.reshape(B * T * K), flat_ids,
+            num_segments=B * N + 1)[:-1].reshape(B, N)
+        n_touched = jax.lax.stop_gradient(n_touched)
 
     color_t = color_t + (1.0 - alpha_t)[..., None] * bg
 
@@ -520,13 +621,6 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
     color = untile(color_t, 3)
     depth = untile(depth_t, 1)[..., 0]
     alpha = untile(alpha_t, 1)[..., 0]
-
-    # n_touched: pixels-contributed count per Gaussian per camera
-    flat_ids = jnp.where(ids_glob >= 0, ids_glob, B * N).reshape(-1)
-    n_touched = jax.ops.segment_sum(
-        touched_t.reshape(B * T * K), flat_ids,
-        num_segments=B * N + 1)[:-1].reshape(B, N)
-    n_touched = jax.lax.stop_gradient(n_touched)
 
     radii = jax.lax.stop_gradient(jnp.where(visible, radius, 0.0))
     return RenderOutput(color=color, depth=depth, alpha=alpha, radii=radii,

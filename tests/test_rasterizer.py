@@ -212,3 +212,84 @@ def test_composite_custom_vjp_matches_autodiff():
     g_cus = jax.grad(loss_custom)(packets)
     np.testing.assert_allclose(np.asarray(g_cus), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_composite_matches_xla_interpret():
+    """Pallas fwd/bwd kernels (interpret mode) vs the XLA compositor on
+    a small camera batch: outputs, n_touched, and packet gradients."""
+    from splatslam_tpu.ops import raster_pallas as rp
+
+    rng = np.random.RandomState(11)
+    B, ntx, nty, K, N = 2, 3, 2, 16, 128
+    T = ntx * nty
+    ids_np = np.full((B, T, K), -1, np.int32)
+    counts_np = np.zeros((B, T), np.int32)
+    for b in range(B):
+        for t in range(T):
+            c = rng.randint(0, K + 4)
+            counts_np[b, t] = c
+            ids_np[b, t, :min(c, K)] = rng.randint(0, N, min(c, K))
+    pk = np.zeros((B, N, 10), np.float32)
+    pk[..., 0] = rng.rand(B, N) * ntx * 16.0
+    pk[..., 1] = rng.rand(B, N) * nty * 16.0
+    pk[..., 2] = 0.05 + 0.1 * rng.rand(B, N)
+    pk[..., 3] = 0.01 * rng.randn(B, N)
+    pk[..., 4] = 0.05 + 0.1 * rng.rand(B, N)
+    pk[..., 5:8] = rng.rand(B, N, 3)
+    pk[..., 8] = 0.1 + 0.85 * rng.rand(B, N)
+    pk[..., 9] = 1.0 + rng.rand(B, N)
+    packets = jnp.asarray(pk)
+    tile_ids = jnp.asarray(ids_np)
+    counts = jnp.asarray(counts_np)
+
+    # XLA reference: global-id path through _composite
+    packets_flat = jnp.concatenate(
+        [packets.reshape(B * N, 10), jnp.zeros((1, 10))], 0)
+    cam_off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+    ids_glob = jnp.where(tile_ids >= 0, tile_ids + cam_off, -1)
+    pix = rz._tile_pixel_grid(ntx, nty)
+    pix_b = jnp.broadcast_to(pix[None], (B,) + pix.shape).reshape(
+        B * T, -1, 2)
+
+    cts = (jnp.asarray(rng.randn(B * T, 256, 3).astype(np.float32)),
+           jnp.asarray(rng.randn(B * T, 256).astype(np.float32)),
+           jnp.asarray(rng.randn(B * T, 256).astype(np.float32)))
+
+    def loss_ref(p):
+        pf = jnp.concatenate([p.reshape(B * N, 10),
+                              jnp.zeros((1, 10))], 0)
+        c, d, a, _ = rz._composite(ids_glob.reshape(B * T, K), pix_b,
+                                   pf, 4)
+        return ((c * cts[0]).sum() + (d * cts[1]).sum()
+                + (a * cts[2]).sum())
+
+    c_r, d_r, a_r, tch_r = rz._composite(
+        ids_glob.reshape(B * T, K), pix_b, packets_flat, 4)
+    flat_ids = jnp.where(ids_glob >= 0, ids_glob, B * N).reshape(-1)
+    nt_r = jax.ops.segment_sum(tch_r.reshape(-1), flat_ids,
+                               num_segments=B * N + 1)[:-1].reshape(B, N)
+
+    # Pallas interpret-mode forward
+    tl_T, counts_flat = rz._pallas_prep(tile_ids, counts, packets)
+    out, ntouch = rp.composite_fwd_pallas(
+        counts_flat, tl_T, B, T, ntx, N, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:, 0:3, :].transpose(0, 2, 1)),
+                               np.asarray(c_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 3, :]), np.asarray(d_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:, 4, :]), np.asarray(a_r),
+                               atol=1e-5)
+    nt_p = np.asarray(ntouch[:, :, 0, :]).reshape(B, N)
+    np.testing.assert_array_equal(nt_p, np.asarray(nt_r))
+
+    # Pallas interpret-mode backward vs autodiff of the XLA path
+    g_ref = jax.grad(loss_ref)(packets)
+    gpack = jnp.concatenate(
+        [cts[0].transpose(0, 2, 1), cts[1][:, None, :],
+         cts[2][:, None, :], jnp.zeros((B * T, 3, 256))], 1)
+    acc = rp.composite_bwd_pallas(
+        counts_flat, tl_T, gpack, B, T, ntx, N, interpret=True)
+    acc = acc.transpose(0, 2, 1, 3).reshape(B, 16, N)
+    g_pal = acc[:, :10, :].transpose(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
