@@ -462,6 +462,12 @@ def _pallas_ok(n_rows: int) -> bool:
     if n_rows > _PALLAS_MAX_ROWS or n_rows % 128:
         return False
     try:
+        # honor an explicit CPU default-device pin (the test env pins
+        # computation to CPU while the machine's default backend is the
+        # tunneled TPU — compiled Pallas kernels only run on real TPU)
+        dd = jax.config.jax_default_device
+        if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+            return False
         return jax.default_backend() == "tpu"
     except Exception:
         return False
