@@ -307,6 +307,7 @@ class Mapper:
         self.exp_mv: dict[int, np.ndarray] = {}  # exposure Adam moments
         self.mono_cache: dict[int, tuple] = {}   # frame_idx → device mono
         self.rng = jax.random.PRNGKey(cfg.get("setup_seed", 43))
+        self.host_rng = np.random.RandomState(cfg.get("setup_seed", 43))
         self.initialized = False
         self.first_mapped_uid = None
         from ..utils.profiling import PhaseTimers
@@ -636,10 +637,10 @@ class Mapper:
             return
         cams = [self.viewpoints[k] for k in window]
         others = [v for k, v in self.viewpoints.items() if k not in window]
-        self.rng, sub = jax.random.split(self.rng)
         if others:
-            pick = np.asarray(
-                jax.random.permutation(sub, len(others)))[:2]
+            # host RNG: a jax.random.permutation here costs a device
+            # dispatch + queue-draining fetch per mapped keyframe
+            pick = self.host_rng.permutation(len(others))[:2]
             cams = cams + [others[int(i)] for i in pick]
 
         if prune:

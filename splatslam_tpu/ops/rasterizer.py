@@ -580,8 +580,19 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
     means2d = means2d + means2d_dummy
     visible = in_front & alive[None]
 
+    # Bin with the exact alpha-cutoff radius instead of the blanket 3σ:
+    # compositing gates alpha < 1/255 to zero, so any pixel beyond
+    # σ·√(2·ln(255·opa)) contributes NOTHING — binning those pixels' tiles
+    # only pads the per-tile lists with dead entries (output-identical,
+    # measured counts drop ~2-3× mid-optimization when opacity resets
+    # leave many near-transparent Gaussians). The returned `radii` keep
+    # the reference's 3σ definition for densify/prune parity.
+    opa_c = jnp.clip(opacities, 0.0, 1.0)
+    cut = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opa_c), 0.0))
+    bin_scale = jnp.minimum(cut / 3.0, 1.0)          # (N,)
     tile_ids, tile_counts = bin_gaussians_batch(
-        jax.lax.stop_gradient(means2d), jax.lax.stop_gradient(radius),
+        jax.lax.stop_gradient(means2d),
+        jax.lax.stop_gradient(radius * bin_scale[None]),
         jax.lax.stop_gradient(depth_z), visible,
         n_tiles_x, n_tiles_y, K, max_span)
 
