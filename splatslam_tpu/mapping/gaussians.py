@@ -235,6 +235,11 @@ def insert_points(st: GaussianState, new, kf_id):
 def grow_capacity(st: GaussianState, factor: int = 2) -> GaussianState:
     """Double capacity (host-side; the only recompile trigger)."""
     C = st.xyz.shape[0]
+    import sys
+    print(f"[gaussians] capacity {C} -> {C * factor}: every mapping "
+          "kernel recompiles for the new bucket (one-time, cached "
+          "persistently; minutes on a remote-compile TPU tunnel)",
+          file=sys.stderr, flush=True)
     extra = make_state(C * (factor - 1), sh_degree=0)
     # match f_rest rank
     R = st.f_rest.shape[1]

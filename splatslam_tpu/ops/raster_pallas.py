@@ -147,13 +147,19 @@ def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
             # LEADING index; the sequential grid makes RMW race-free
             touched = jnp.sum((w > 0), axis=1,
                               keepdims=True).astype(jnp.float32)  # (CH,1)
+            # amortized one-hot masks for the whole chunk: (CH, LANES)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
+            masks = (lanes == jnp.mod(gid.astype(jnp.int32), LANES)
+                     ).astype(jnp.float32)
             for i in range(CH):
                 gid_i = gid[i, 0].astype(jnp.int32)
 
-                @pl.when((c0 + i < count) & (gid_i >= 0))
+                # touched == 0 entries add nothing — exact skip
+                @pl.when((c0 + i < count) & (gid_i >= 0)
+                         & (touched[i, 0] > 0))
                 def _(i=i, gid_i=gid_i):
                     blk = gid_i // LANES
-                    upd = touched[i:i + 1, :] * _lane_mask(gid_i)
+                    upd = touched[i:i + 1, :] * masks[i:i + 1, :]
                     ntouch_ref[0, blk, 0:1, :] = \
                         ntouch_ref[0, blk, 0:1, :] + upd
 
@@ -240,13 +246,21 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref, *,
                 r(w * g_d),                           # d/ddepth
                 jnp.zeros((CH, 6), jnp.float32),
             ], axis=1)                                # (CH, 16)
+            # per-entry gradient magnitude: all-zero rows add nothing
+            # (transmittance underflows to exact 0 behind saturated
+            # pixels, so far-back entries skip — CUDA's last_contributor)
+            rows_mag = jnp.sum(jnp.abs(rows), axis=1, keepdims=True)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
+            masks = (lanes == jnp.mod(gid.astype(jnp.int32), LANES)
+                     ).astype(jnp.float32)
             for i in range(CH):
                 gid_i = gid[i, 0].astype(jnp.int32)
 
-                @pl.when((c0 + i < count) & (gid_i >= 0))
+                @pl.when((c0 + i < count) & (gid_i >= 0)
+                         & (rows_mag[i, 0] > 0))
                 def _(i=i, gid_i=gid_i):
                     blk = gid_i // LANES
-                    upd = rows[i, :].reshape(16, 1) * _lane_mask(gid_i)
+                    upd = rows[i, :].reshape(16, 1) * masks[i:i + 1, :]
                     acc_ref[0, blk] = acc_ref[0, blk] + upd
             st_ref[4:5, :] = trans * cum[-1:]
             st_ref[6:7, :] = st_ref[6:7, :] + incl[-1:]
