@@ -186,8 +186,10 @@ class TUM_RGBD(BaseDataset):
 
     @staticmethod
     def parse_list(filepath, skiprows=0):
-        return np.loadtxt(filepath, delimiter=" ", dtype=np.unicode_,
-                          skiprows=skiprows)
+        # str, not np.unicode_ (removed in numpy 2.0); atleast_2d so a
+        # single-row file keeps the (rows, cols) shape
+        return np.atleast_2d(np.loadtxt(filepath, delimiter=" ", dtype=str,
+                                        skiprows=skiprows))
 
     @staticmethod
     def associate_frames(t_img, t_depth, t_pose, max_dt=0.08):
