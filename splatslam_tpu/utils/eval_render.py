@@ -203,11 +203,14 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
     result = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else None,
         "mean_ssim": float(np.mean(ssims)) if ssims else None,
-        "mean_lpips": float(np.mean(lpipss)) if lpipss else
-        "unavailable (no pretrained AlexNet weights in this environment)",
+        # numeric-or-None so downstream aggregators never see a string
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else None,
         "mean_depth_l1": float(np.mean(depth_l1s)) if depth_l1s else None,
         "num_frames": len(psnrs),
     }
+    if not lpipss:
+        result["lpips_note"] = ("unavailable (no pretrained AlexNet "
+                                "weights in this environment)")
     with open(os.path.join(save_dir, "rendering", iteration,
                            "final_result.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -56,6 +56,34 @@ def ape_stats(est_xyz: np.ndarray, gt_xyz: np.ndarray, correct_scale=True):
     return stats, (r, t, s)
 
 
+def plot_trajectory(aligned_xyz, gt_xyz, path, title=""):
+    """Aligned-vs-GT trajectory figure (reference eval_traj.py:119-140
+    writes one per eval via evo's plot module; same content here with
+    matplotlib directly: top-down xy track + per-axis error shading)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    err = np.linalg.norm(aligned_xyz - gt_xyz, axis=1)
+    fig, (ax0, ax1) = plt.subplots(
+        1, 2, figsize=(11, 5), gridspec_kw={"width_ratios": [3, 2]})
+    ax0.plot(gt_xyz[:, 0], gt_xyz[:, 1], "k--", lw=1.2, label="ground truth")
+    sc = ax0.scatter(aligned_xyz[:, 0], aligned_xyz[:, 1], c=err, s=8,
+                     cmap="plasma", label="estimate (Sim3-aligned)")
+    fig.colorbar(sc, ax=ax0, label="APE [m]")
+    ax0.set_xlabel("x [m]")
+    ax0.set_ylabel("y [m]")
+    ax0.set_aspect("equal", adjustable="datalim")
+    ax0.legend(loc="best", fontsize=8)
+    ax0.set_title(title or "trajectory (top-down)")
+    ax1.plot(err, lw=1.0)
+    ax1.set_xlabel("keyframe")
+    ax1.set_ylabel("APE [m]")
+    ax1.set_title(f"rmse {np.sqrt((err ** 2).mean()):.4f} m")
+    fig.tight_layout()
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+
+
 def _gt_c2w_list(stream, timestamps):
     poses, keep = [], []
     for i, ts in enumerate(timestamps):
@@ -82,8 +110,10 @@ def kf_traj_eval(npz_path, traj_dir, name, stream, printer=None):
     os.makedirs(traj_dir, exist_ok=True)
     with open(os.path.join(traj_dir, f"metrics_{name}.txt"), "w") as f:
         f.write(json.dumps(stats, indent=2))
-    np.save(os.path.join(traj_dir, f"{name}_aligned.npy"),
-            (s * (r @ est_xyz.T) + t[:, None]).T)
+    aligned = (s * (r @ est_xyz.T) + t[:, None]).T
+    np.save(os.path.join(traj_dir, f"{name}_aligned.npy"), aligned)
+    plot_trajectory(aligned, gt_xyz,
+                    os.path.join(traj_dir, f"{name}.png"), title=name)
     if printer:
         printer.print(f"kf ate rmse: {stats['rmse']:.4f} (scale {s:.4f})")
     return stats, s, r, t
@@ -102,6 +132,9 @@ def full_traj_eval(traj_filler, traj_dir, name, stream, printer=None):
     os.makedirs(traj_dir, exist_ok=True)
     with open(os.path.join(traj_dir, f"metrics_{name}.txt"), "w") as f:
         f.write(json.dumps(stats, indent=2))
+    aligned = (s * (r @ est_xyz.T) + t[:, None]).T
+    plot_trajectory(aligned, gt_xyz,
+                    os.path.join(traj_dir, f"{name}.png"), title=name)
     if printer:
         printer.print(f"full ate rmse: {stats['rmse']:.4f}")
     return c2w, stats
