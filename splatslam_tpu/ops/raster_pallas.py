@@ -85,10 +85,13 @@ def _chunk_eval(tl_ref, c0, px, py, count):
     """Evaluate the static chunk starting at c0: alpha (CH,P) with CUDA
     gating. tl_ref block is (1, 16, K); c0 is a Python int."""
     f = tl_ref[0, :, c0:c0 + CH]            # (16, CH) static slice
-    g = lambda r: f[r, :].reshape(CH, 1)
+    # ONE lane->sublane relayout for all 11 fields (the per-field
+    # row-to-column reshape costed 11 separate relayout ops)
+    fT = f.T                                 # (CH, 16)
+    g = lambda r: fT[:, r:r + 1]
     mx, my, ca, cb, cc = g(0), g(1), g(2), g(3), g(4)
     cr, cg, cb_, op, dp = g(5), g(6), g(7), g(8), g(9)
-    gid = f[10, :].reshape(CH, 1)
+    gid = g(10)
     dx = px - mx                             # (CH,P)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -108,7 +111,7 @@ def _lane_mask(gid):
 
 
 def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
-                ntx, n_cam_tiles, K):
+                ntx, n_cam_tiles, K, want_touched):
     b = pl.program_id(0)
     tt = pl.program_id(1)
     t = b * n_cam_tiles + tt
@@ -142,23 +145,25 @@ def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
                 w * dp, 0, keepdims=True)
             st_ref[4:5, :] = trans * cum[-1:]
 
-            # per-Gaussian pixels-touched accumulation (replaces an XLA
-            # segment_sum): lane-masked full-tile RMW at a dynamic
-            # LEADING index; the sequential grid makes RMW race-free
-            touched = jnp.sum((w > 0), axis=1,
-                              keepdims=True).astype(jnp.float32)  # (CH,1)
-            # amortized one-hot masks for the whole chunk: (CH, LANES)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
-            masks = (lanes == jnp.mod(gid.astype(jnp.int32), LANES)
-                     ).astype(jnp.float32)
-            for i in range(CH):
-                gid_i = gid[i, 0].astype(jnp.int32)
-
-                # touched == 0 entries add nothing — exact skip
-                @pl.when((c0 + i < count) & (gid_i >= 0)
-                         & (touched[i, 0] > 0))
-                def _(i=i, gid_i=gid_i):
-                    blk = gid_i // LANES
+            if want_touched:
+                # per-Gaussian pixels-touched accumulation (replaces an
+                # XLA segment_sum): lane-masked full-tile RMW at a dynamic
+                # LEADING index; the sequential grid makes RMW race-free.
+                # Skipped entirely (static) in the hot optimization
+                # iterations — visibility is only consumed at segment
+                # boundaries (densify/reset gates).
+                touched = jnp.sum((w > 0), axis=1,
+                                  keepdims=True).astype(jnp.float32)
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
+                gid_i32 = gid.astype(jnp.int32)
+                # unconditional straight-line RMW (see the bwd kernel's
+                # note): padding entries have touched == 0 and a zeroed
+                # mask, so they add exact zeros
+                masks = ((lanes == jnp.mod(gid_i32, LANES))
+                         & (gid_i32 >= 0)).astype(jnp.float32)
+                for i in range(CH):
+                    blk = jnp.maximum(gid[i, 0].astype(jnp.int32),
+                                      0) // LANES
                     upd = touched[i:i + 1, :] * masks[i:i + 1, :]
                     ntouch_ref[0, blk, 0:1, :] = \
                         ntouch_ref[0, blk, 0:1, :] + upd
@@ -169,7 +174,7 @@ def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
     out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref, *,
+def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
                 ntx, n_cam_tiles, K):
     b = pl.program_id(0)
     tt = pl.program_id(1)
@@ -187,30 +192,18 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref, *,
     g_d = gp_ref[0, 3:4, :]
     g_a = gp_ref[0, 4:5, :]
 
-    # pass 1: total Σ wᵢsᵢ per pixel + final transmittance
-    # state scratch rows: 4 trans, 5 s_tot, 6 s_prefix
-    st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
-    st_ref[5:6, :] = jnp.zeros((1, P), jnp.float32)
-    for c0 in range(0, K, CH):
-        @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
-        def _(c0=c0):
-            trans = st_ref[4:5, :]
-            alpha, _, _, _, _, _, _, f = _chunk_eval(
-                tl_ref, c0, px, py, count)
-            _, _, _, _, _, cr, cg, cb_, _, dp = f
-            cum = _prefix_prod(1.0 - alpha)
-            t_before = trans * jnp.concatenate(
-                [jnp.ones_like(cum[:1]), cum[:-1]], 0)
-            w = jnp.where(t_before < T_MIN, 0.0, alpha * t_before)
-            s = cr * g_c0 + cg * g_c1 + cb_ * g_c2 + dp * g_d
-            st_ref[5:6, :] = st_ref[5:6, :] + jnp.sum(
-                w * s, 0, keepdims=True)
-            st_ref[4:5, :] = trans * cum[-1:]
+    # The classical bwd needs (a) the final transmittance and (b) the
+    # total per-pixel Σᵢ wᵢsᵢ. Both fall out of the FORWARD's outputs —
+    # T_final = 1 − alpha_out and
+    #   Σᵢ wᵢsᵢ = Σᵢ wᵢ(cᵢ·g_c + dᵢ·g_d) = color_out·g_c + depth_out·g_d
+    # (color_out is pre-background here) — so the former "pass 1" full
+    # recompute sweep over all chunks is unnecessary (it was ~40% of the
+    # backward kernel's time).
+    G = g_a * (1.0 - fo_ref[0, 4:5, :])           # g_A · T_final, (1,P)
+    s_tot = (fo_ref[0, 0:1, :] * g_c0 + fo_ref[0, 1:2, :] * g_c1
+             + fo_ref[0, 2:3, :] * g_c2 + fo_ref[0, 3:4, :] * g_d)
 
-    G = g_a * st_ref[4:5, :]                      # g_A · T_final, (1,P)
-    s_tot = st_ref[5:6, :]
-
-    # pass 2: prefix recompute + per-contributor grads + accumulate
+    # single pass: prefix recompute + per-contributor grads + accumulate
     st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
     st_ref[6:7, :] = jnp.zeros((1, P), jnp.float32)
     for c0 in range(0, K, CH):
@@ -249,31 +242,35 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref, *,
             # per-entry gradient magnitude: all-zero rows add nothing
             # (transmittance underflows to exact 0 behind saturated
             # pixels, so far-back entries skip — CUDA's last_contributor)
-            rows_mag = jnp.sum(jnp.abs(rows), axis=1, keepdims=True)
+            rowsT = rows.T                         # ONE relayout per chunk
             lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
-            masks = (lanes == jnp.mod(gid.astype(jnp.int32), LANES)
+            gid_i32 = gid.astype(jnp.int32)
+            # zero the mask (not the add) for padding entries: dead rows
+            # are already all-zero (alpha gating), so an UNCONDITIONAL
+            # straight-line RMW is correct — and much faster than a
+            # per-entry pl.when, whose branch serializes the
+            # vector→scalar gid extraction every iteration (measured
+            # ~140 cycles/entry predicated vs ~45 straight-line)
+            masks = ((lanes == jnp.mod(gid_i32, LANES)) & (gid_i32 >= 0)
                      ).astype(jnp.float32)
             for i in range(CH):
-                gid_i = gid[i, 0].astype(jnp.int32)
-
-                @pl.when((c0 + i < count) & (gid_i >= 0)
-                         & (rows_mag[i, 0] > 0))
-                def _(i=i, gid_i=gid_i):
-                    blk = gid_i // LANES
-                    upd = rows[i, :].reshape(16, 1) * masks[i:i + 1, :]
-                    acc_ref[0, blk] = acc_ref[0, blk] + upd
+                blk = jnp.maximum(gid[i, 0].astype(jnp.int32), 0) // LANES
+                upd = rowsT[:, i:i + 1] * masks[i:i + 1, :]
+                acc_ref[0, blk] = acc_ref[0, blk] + upd
             st_ref[4:5, :] = trans * cum[-1:]
             st_ref[6:7, :] = st_ref[6:7, :] + incl[-1:]
 
 
 def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
-                         interpret=False):
+                         interpret=False, want_touched=True):
     """counts (B·T,) int32; tl_T (B·T, 16, K) f32 with per-camera
     Gaussian ids in row 10 (float, −1 padding).
     Returns out (B·T, 8, P) [color3, depth, alpha, 0…] and
-    n_touched (B, n_rows//128, 8, 128) f32 (row 0 holds the counts)."""
+    n_touched (B, n_rows//128, 8, 128) f32 (row 0 holds the counts;
+    a (B, 1, 8, 128) zero dummy when want_touched=False — the per-entry
+    accumulation loop is statically skipped)."""
     BT, _, K = tl_T.shape
-    NB = n_rows // LANES
+    NB = n_rows // LANES if want_touched else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_cam_tiles),
@@ -294,7 +291,8 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
 
     def kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref):
         _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref,
-                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K)
+                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K,
+                    want_touched=want_touched)
 
     out, ntouch = pl.pallas_call(
         kernel,
@@ -308,17 +306,23 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
     return out, ntouch
 
 
-def composite_bwd_pallas(counts, tl_T, gpack, B, n_cam_tiles, ntx,
+def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
                          n_rows, interpret=False):
     """Gradient accumulation kernel.
 
     counts (B·T,) int32; tl_T (B·T,16,K) with ids in row 10;
-    gpack (B·T, 8, P) rows = [g_color(3), g_depth, g_alpha, 0…].
+    gpack (B·T, 8, P) rows = [g_color(3), g_depth, g_alpha, 0…];
+    fwdout (B·T, 8, P) the forward kernel's output rows (pre-background
+    color 3, depth, alpha) — supplies T_final and Σwᵢsᵢ without a
+    recompute sweep.
     Returns acc (B, n_rows//128, 16, 128): per-camera blocked
     per-Gaussian gradient rows (n_rows multiple of 128).
     """
     BT, _, K = tl_T.shape
     NB = n_rows // LANES
+    tile_spec = pl.BlockSpec((1, 8, P),
+                             lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_cam_tiles),
@@ -326,9 +330,8 @@ def composite_bwd_pallas(counts, tl_T, gpack, B, n_cam_tiles, ntx,
             pl.BlockSpec((1, 16, K),
                          lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P),
-                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_spec,
+            tile_spec,
         ],
         out_specs=pl.BlockSpec((1, NB, 16, LANES),
                                lambda b, t, *_: (b, 0, 0, 0),
@@ -336,8 +339,8 @@ def composite_bwd_pallas(counts, tl_T, gpack, B, n_cam_tiles, ntx,
         scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
     )
 
-    def kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref):
-        _bwd_kernel(counts_ref, tl_ref, gp_ref, acc_ref, st_ref,
+    def kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref):
+        _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref,
                     ntx=ntx, n_cam_tiles=n_cam_tiles, K=K)
 
     acc = pl.pallas_call(
@@ -347,5 +350,5 @@ def composite_bwd_pallas(counts, tl_T, gpack, B, n_cam_tiles, ntx,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(counts, tl_T, gpack)
+    )(counts, tl_T, gpack, fwdout)
     return acc

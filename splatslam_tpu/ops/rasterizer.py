@@ -187,15 +187,33 @@ def bin_gaussians_batch(means2d, radius, depth, visible, n_tiles_x,
     """
     B, N = means2d.shape[:2]
     T = n_tiles_x * n_tiles_y
-    if (T + 1) * N >= 2**31:
-        raise ValueError(
-            f"tile-sort key overflow: tiles({T})·capacity({N}) must be "
-            "< 2^31; reduce the Gaussian capacity or image size")
 
-    # depth ranks (inverse of the depth argsort) — double argsort is
-    # scatter-free and batches well on TPU
-    order = jnp.argsort(jnp.where(visible, depth, jnp.inf), axis=1)
-    rank = jnp.argsort(order, axis=1).astype(jnp.int32)
+    # sort key: (tile, depth). Preferred form packs a 16-bit depth
+    # quantization into the key (key = tile·2¹⁶ + q16) — it removes the
+    # two (B, N) rank argsorts the exact form needs (the double-argsort
+    # rank is only required when tile·N would overflow int32). 0.06 mm
+    # depth bins at 4 m scene scale: order ties within a bin are
+    # arbitrary, far below any visible compositing difference.
+    use_q16 = (T + 1) < (1 << 15)
+    if use_q16:
+        d_vis = jnp.where(visible, depth, jnp.nan)
+        dmin = jnp.nanmin(d_vis, axis=1, keepdims=True)
+        dmax = jnp.nanmax(d_vis, axis=1, keepdims=True)
+        dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+        dmax = jnp.where(jnp.isfinite(dmax), dmax, 1.0)
+        scale = 65535.0 / jnp.maximum(dmax - dmin, 1e-9)
+        rank = jnp.clip((depth - dmin) * scale, 0, 65535).astype(jnp.int32)
+        KEYB = 1 << 16
+    else:
+        if (T + 1) * N >= 2**31:
+            raise ValueError(
+                f"tile-sort key overflow: tiles({T})·capacity({N}) must "
+                "be < 2^31; reduce the Gaussian capacity or image size")
+        # depth ranks (inverse of the depth argsort) — double argsort is
+        # scatter-free and batches well on TPU
+        order = jnp.argsort(jnp.where(visible, depth, jnp.inf), axis=1)
+        rank = jnp.argsort(order, axis=1).astype(jnp.int32)
+        KEYB = N
 
     u, v = means2d[..., 0], means2d[..., 1]
     x0 = jnp.clip(jnp.floor((u - radius) / TILE), 0, n_tiles_x - 1)
@@ -223,7 +241,7 @@ def bin_gaussians_batch(means2d, radius, depth, visible, n_tiles_x,
     vy = ty <= y1[..., None]
     tile = ty[..., :, None] * n_tiles_x + tx[..., None, :]   # (B, N, S, S)
     val = ok[..., None, None] & vy[..., :, None] & vx[..., None, :]
-    key = jnp.where(val, tile * N + rank[..., None, None],
+    key = jnp.where(val, tile * KEYB + rank[..., None, None],
                     jnp.iinfo(jnp.int32).max)
     gid = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[None, :, None, None], key.shape)
@@ -233,15 +251,16 @@ def bin_gaussians_batch(means2d, radius, depth, visible, n_tiles_x,
         [key.reshape(B, L), gid.reshape(B, L)], dimension=1, num_keys=1)
 
     bounds = _searchsorted_rows(
-        skey, jnp.arange(T + 1, dtype=jnp.int32) * N)        # (B, T+1)
+        skey, jnp.arange(T + 1, dtype=jnp.int32) * KEYB)     # (B, T+1)
     starts = bounds[:, :-1]
     pos = jnp.clip(starts[:, :, None] + jnp.arange(K, dtype=jnp.int32),
                    0, L - 1)                                  # (B, T, K)
     flat = (pos + (jnp.arange(B, dtype=jnp.int32) * L)[:, None, None]
             ).reshape(-1)
     kk = skey.reshape(-1)[flat].reshape(B, T, K)
-    ids = jnp.where(kk // N == jnp.arange(T, dtype=jnp.int32)[None, :, None],
-                    sgid.reshape(-1)[flat].reshape(B, T, K), -1)
+    ids = jnp.where(
+        kk // KEYB == jnp.arange(T, dtype=jnp.int32)[None, :, None],
+        sgid.reshape(-1)[flat].reshape(B, T, K), -1)
     counts = bounds[:, 1:] - starts
     return ids, counts
 
@@ -452,7 +471,10 @@ def _composite(tile_ids, pix, packets, chunk_k):
 # ops/raster_pallas.py for the kernels and the design rationale.
 # ---------------------------------------------------------------------------
 
-_PALLAS_MAX_ROWS = 1 << 17   # VMEM accumulator cap: (16, N) f32 ≤ 8.4 MB
+_PALLAS_MAX_ROWS = 1 << 18   # VMEM accumulator cap: (16, N) f32 ≤ 16.8 MB
+                             # (v5e VMEM is 128 MB; kernels run with a
+                             # 100 MB scoped limit)
+_warned_demotion = set()
 
 
 def _pallas_ok(n_rows: int) -> bool:
@@ -460,6 +482,15 @@ def _pallas_ok(n_rows: int) -> bool:
     if os.environ.get("SPLATSLAM_NO_PALLAS"):
         return False
     if n_rows > _PALLAS_MAX_ROWS or n_rows % 128:
+        # never silent: above this capacity compositing falls back to
+        # the (much slower) XLA scan path
+        if n_rows not in _warned_demotion:
+            _warned_demotion.add(n_rows)
+            import sys
+            print(f"[rasterizer] capacity {n_rows} demotes compositing "
+                  f"to the XLA fallback (Pallas cap {_PALLAS_MAX_ROWS}, "
+                  "needs multiple-of-128 rows)", file=sys.stderr,
+                  flush=True)
         return False
     try:
         # honor an explicit CPU default-device pin (the test env pins
@@ -491,38 +522,50 @@ def _pallas_prep(tile_ids, counts, packets):
     return tl_T, counts.reshape(B * T).astype(jnp.int32)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _composite_tiles_pallas(tile_ids, counts, packets, ntx, n_cam_tiles):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _composite_tiles_pallas(tile_ids, counts, packets, ntx, n_cam_tiles,
+                            want_touched):
     """tile_ids (B,T,K) per-camera ids; counts (B,T); packets (B,N,10).
     Returns color (B·T,P,3), depth (B·T,P), alpha (B·T,P),
-    n_touched (B,N) int32."""
+    n_touched (B,N) int32 (zeros when want_touched=False — the fwd
+    kernel statically skips the per-entry accumulation)."""
     from . import raster_pallas as rp
     B, T, K = tile_ids.shape
     N = packets.shape[1]
     tl_T, counts_flat = _pallas_prep(tile_ids, counts, packets)
     out, ntouch = rp.composite_fwd_pallas(
-        counts_flat, tl_T, B, n_cam_tiles, ntx, N)
-    nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
+        counts_flat, tl_T, B, n_cam_tiles, ntx, N,
+        want_touched=want_touched)
+    if want_touched:
+        nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
+    else:
+        nt = jnp.zeros((B, N), jnp.int32)
     return (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],
             out[:, 4, :], nt)
 
 
-def _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles):
+def _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles, want_touched):
     from . import raster_pallas as rp
     B, T, K = tile_ids.shape
     N = packets.shape[1]
     tl_T, counts_flat = _pallas_prep(tile_ids, counts, packets)
     out, ntouch = rp.composite_fwd_pallas(
-        counts_flat, tl_T, B, n_cam_tiles, ntx, N)
-    nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
+        counts_flat, tl_T, B, n_cam_tiles, ntx, N,
+        want_touched=want_touched)
+    if want_touched:
+        nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
+    else:
+        nt = jnp.zeros((B, N), jnp.int32)
     outs = (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],
             out[:, 4, :], nt)
-    return outs, (tl_T, counts_flat, B, N)
+    # `out` rides into the bwd kernel: it supplies T_final and Σwᵢsᵢ,
+    # replacing a full recompute sweep over the tile lists
+    return outs, (tl_T, counts_flat, out, B, N)
 
 
-def _ctp_bwd(ntx, n_cam_tiles, res, cts):
+def _ctp_bwd(ntx, n_cam_tiles, want_touched, res, cts):
     from . import raster_pallas as rp
-    tl_T, counts_flat, B, N = res
+    tl_T, counts_flat, fwdout, B, N = res
     g_color, g_depth, g_alpha, _ = cts
     BT = tl_T.shape[0]
     Pp = g_color.shape[1]
@@ -530,7 +573,7 @@ def _ctp_bwd(ntx, n_cam_tiles, res, cts):
         [g_color.transpose(0, 2, 1), g_depth[:, None, :],
          g_alpha[:, None, :], jnp.zeros((BT, 3, Pp), g_color.dtype)], 1)
     acc = rp.composite_bwd_pallas(
-        counts_flat, tl_T, gpack, B, n_cam_tiles, ntx, N)
+        counts_flat, tl_T, gpack, fwdout, B, n_cam_tiles, ntx, N)
     # (B, N/128, 16, 128) blocked → (B, N, 10)
     acc = acc.transpose(0, 2, 1, 3).reshape(B, 16, N)
     grad_packets = acc[:, :10, :].transpose(0, 2, 1)
@@ -540,11 +583,100 @@ def _ctp_bwd(ntx, n_cam_tiles, res, cts):
 _composite_tiles_pallas.defvjp(_ctp_fwd, _ctp_bwd)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "K", "chunk_k", "max_span"))
+def _bin_radius(radius, opacities, margin=0.0):
+    """Binning radius: exact alpha-cutoff shrink of the 3σ radius.
+
+    Compositing gates alpha < 1/255 to zero, so any pixel beyond
+    σ·√(2·ln(255·opa)) contributes NOTHING — binning those pixels' tiles
+    only pads the per-tile lists with dead entries (output-identical,
+    measured counts drop ~2-3× mid-optimization when opacity resets
+    leave many near-transparent Gaussians). `margin` (pixels) widens the
+    footprint so a tile list can be REUSED for several optimization
+    iterations while means drift (mapper.map_step_n rebin cadence).
+    """
+    opa_c = jnp.clip(opacities, 0.0, 1.0)
+    cut = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opa_c), 0.0))
+    bin_scale = jnp.minimum(cut / 3.0, 1.0)          # (N,)
+    r = radius * bin_scale[None]
+    if margin:
+        r = jnp.where(r > 0, r + margin, 0.0)
+    return r
+
+
+@partial(jax.jit, static_argnames=("H", "W", "K", "max_span", "near",
+                                   "margin"))
+def bin_batch(means3D, scales, rotations, opacities, alive, w2cs, taus,
+              intrinsics, *, H: int, W: int, K: int, max_span: int = 4,
+              near: float = 0.01, margin: float = 0.0):
+    """Standalone tile binning for a camera batch (same geometry as
+    rasterize_batch). Returns (tile_ids (B,T,K), tile_counts (B,T)) to
+    feed rasterize_batch's `tile_ids`/`tile_counts` — the mapper reuses
+    one binning across several optimization iterations (the full
+    multi-million-key sort was ~1/6 of each training step)."""
+    n_tiles_x = (W + TILE - 1) // TILE
+    n_tiles_y = (H + TILE - 1) // TILE
+    dT = jax.vmap(lambda t: lie.to_matrix(lie.exp(t)))(taus)
+    w2c_t = dT @ w2cs
+    means2d, depth_z, conic, radius, in_front = jax.vmap(
+        project_gaussians,
+        in_axes=(None, None, None, 0, None, None, None, None))(
+            means3D, scales, rotations, w2c_t, intrinsics, H, W, near)
+    visible = in_front & alive[None]
+    return bin_gaussians_batch(
+        means2d, _bin_radius(radius, opacities, margin), depth_z, visible,
+        n_tiles_x, n_tiles_y, K, max_span)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "K", "max_span", "near"))
+def raster_health(means3D, scales, rotations, opacities, alive, w2cs, taus,
+                  intrinsics, *, H: int, W: int, K: int, max_span: int = 4,
+                  near: float = 0.01):
+    """Accounting for the rasterizer's two bounded-work caps.
+
+    Returns (overflow_frac, crop_frac, max_count):
+      * overflow_frac — fraction of binned tile entries beyond the K
+        contributors a tile keeps (those are dropped, far-behind first);
+      * crop_frac — fraction of visible Gaussians whose 3σ/alpha-cutoff
+        bbox spans more than max_span tiles per axis (their footprint is
+        cropped to a max_span window);
+      * max_count — densest tile's contributor count.
+    The mapper logs these periodically so neither cap is ever a silent
+    quality cliff (the CUDA reference has no such caps).
+    """
+    n_tiles_x = (W + TILE - 1) // TILE
+    n_tiles_y = (H + TILE - 1) // TILE
+    dT = jax.vmap(lambda t: lie.to_matrix(lie.exp(t)))(taus)
+    w2c_t = dT @ w2cs
+    means2d, depth_z, conic, radius, in_front = jax.vmap(
+        project_gaussians,
+        in_axes=(None, None, None, 0, None, None, None, None))(
+            means3D, scales, rotations, w2c_t, intrinsics, H, W, near)
+    visible = in_front & alive[None]
+    r = _bin_radius(radius, opacities)
+    _, counts = bin_gaussians_batch(
+        means2d, r, depth_z, visible, n_tiles_x, n_tiles_y, K, max_span)
+    total = jnp.maximum(jnp.sum(counts), 1)
+    overflow = jnp.sum(jnp.maximum(counts - K, 0)) / total
+
+    u, v = means2d[..., 0], means2d[..., 1]
+    x0 = jnp.clip(jnp.floor((u - r) / TILE), 0, n_tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((u + r) / TILE), 0, n_tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((v - r) / TILE), 0, n_tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((v + r) / TILE), 0, n_tiles_y - 1)
+    binned = visible & (r > 0)
+    big = binned & ((x1 - x0 + 1 > max_span) | (y1 - y0 + 1 > max_span))
+    crop = jnp.sum(big) / jnp.maximum(jnp.sum(binned), 1)
+    return overflow, crop, counts.max()
+
+
+@partial(jax.jit, static_argnames=("H", "W", "K", "chunk_k", "max_span",
+                                   "want_touched"))
 def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
-                    w2cs, taus, intrinsics, bg, means2d_dummy=None, *,
+                    w2cs, taus, intrinsics, bg, means2d_dummy=None,
+                    tile_ids=None, tile_counts=None, *,
                     H: int, W: int, K: int = 512, chunk_k: int = 32,
-                    max_span: int = 4, near: float = 0.01):
+                    max_span: int = 4, near: float = 0.01,
+                    want_touched: bool = True):
     """Render ONE Gaussian set into a BATCH of cameras in one program.
 
     Batched rendering is the TPU-shaped form of the mapper's window
@@ -557,6 +689,11 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
     colors (N,3) shared or (B,N,3) per-camera (SH path); alive (N,) bool;
     w2cs (B,4,4); taus (B,6) pose deltas, exp(tau)∘w2c per camera;
     intrinsics (fx,fy,cx,cy); bg (3,); means2d_dummy (B,N,2) zeros.
+    tile_ids/tile_counts: optional prebinned lists from bin_batch —
+    when given, the in-program binning sort is skipped.
+    want_touched=False skips the per-Gaussian touch-count accumulation
+    (n_touched comes back all-zero) — it is only consumed at
+    densify/visibility gates, not in the hot optimization iterations.
     Returns RenderOutput with a leading camera dim on every field.
     """
     B = w2cs.shape[0]
@@ -580,21 +717,12 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
     means2d = means2d + means2d_dummy
     visible = in_front & alive[None]
 
-    # Bin with the exact alpha-cutoff radius instead of the blanket 3σ:
-    # compositing gates alpha < 1/255 to zero, so any pixel beyond
-    # σ·√(2·ln(255·opa)) contributes NOTHING — binning those pixels' tiles
-    # only pads the per-tile lists with dead entries (output-identical,
-    # measured counts drop ~2-3× mid-optimization when opacity resets
-    # leave many near-transparent Gaussians). The returned `radii` keep
-    # the reference's 3σ definition for densify/prune parity.
-    opa_c = jnp.clip(opacities, 0.0, 1.0)
-    cut = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opa_c), 0.0))
-    bin_scale = jnp.minimum(cut / 3.0, 1.0)          # (N,)
-    tile_ids, tile_counts = bin_gaussians_batch(
-        jax.lax.stop_gradient(means2d),
-        jax.lax.stop_gradient(radius * bin_scale[None]),
-        jax.lax.stop_gradient(depth_z), visible,
-        n_tiles_x, n_tiles_y, K, max_span)
+    if tile_ids is None:
+        tile_ids, tile_counts = bin_gaussians_batch(
+            jax.lax.stop_gradient(means2d),
+            jax.lax.stop_gradient(_bin_radius(radius, opacities)),
+            jax.lax.stop_gradient(depth_z), visible,
+            n_tiles_x, n_tiles_y, K, max_span)
 
     packets = jnp.concatenate([
         means2d, conic, colors,
@@ -604,7 +732,7 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
 
     if _pallas_ok(N):
         color_t, depth_t, alpha_t, n_touched = _composite_tiles_pallas(
-            tile_ids, tile_counts, packets, n_tiles_x, T)
+            tile_ids, tile_counts, packets, n_tiles_x, T, want_touched)
         n_touched = jax.lax.stop_gradient(n_touched)
     else:
         # XLA fallback (CPU tests / capacities beyond the VMEM cap):
@@ -621,11 +749,15 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
             B * T, -1, 2)
         color_t, depth_t, alpha_t, touched_t = _composite(
             ids_glob.reshape(B * T, K), pix_b, packets_flat, chunk_k)
-        flat_ids = jnp.where(ids_glob >= 0, ids_glob, B * N).reshape(-1)
-        n_touched = jax.ops.segment_sum(
-            touched_t.reshape(B * T * K), flat_ids,
-            num_segments=B * N + 1)[:-1].reshape(B, N)
-        n_touched = jax.lax.stop_gradient(n_touched)
+        if want_touched:
+            flat_ids = jnp.where(ids_glob >= 0, ids_glob,
+                                 B * N).reshape(-1)
+            n_touched = jax.ops.segment_sum(
+                touched_t.reshape(B * T * K), flat_ids,
+                num_segments=B * N + 1)[:-1].reshape(B, N)
+            n_touched = jax.lax.stop_gradient(n_touched)
+        else:
+            n_touched = jnp.zeros((B, N), jnp.int32)
 
     color_t = color_t + (1.0 - alpha_t)[..., None] * bg
 

@@ -282,14 +282,157 @@ def test_pallas_composite_matches_xla_interpret():
     nt_p = np.asarray(ntouch[:, :, 0, :]).reshape(B, N)
     np.testing.assert_array_equal(nt_p, np.asarray(nt_r))
 
+    # want_touched=False: same image outputs, dummy touch buffer, and the
+    # per-entry accumulation loop statically skipped
+    out_nt, ntouch_nt = rp.composite_fwd_pallas(
+        counts_flat, tl_T, B, T, ntx, N, interpret=True,
+        want_touched=False)
+    np.testing.assert_allclose(np.asarray(out_nt), np.asarray(out),
+                               atol=1e-6)
+    assert ntouch_nt.shape == (B, 1, 8, 128)
+
     # Pallas interpret-mode backward vs autodiff of the XLA path
     g_ref = jax.grad(loss_ref)(packets)
     gpack = jnp.concatenate(
         [cts[0].transpose(0, 2, 1), cts[1][:, None, :],
          cts[2][:, None, :], jnp.zeros((B * T, 3, 256))], 1)
     acc = rp.composite_bwd_pallas(
-        counts_flat, tl_T, gpack, B, T, ntx, N, interpret=True)
+        counts_flat, tl_T, gpack, out, B, T, ntx, N, interpret=True)
     acc = acc.transpose(0, 2, 1, 3).reshape(B, 16, N)
     g_pal = acc[:, :10, :].transpose(0, 2, 1)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_prebinned_matches_inline_binning():
+    """bin_batch + prebinned rasterize_batch == rasterize_batch with its
+    internal binning (margin 0), and a margined binning renders the same
+    image (margin only ADDS sub-cutoff entries)."""
+    rng = np.random.RandomState(3)
+    N, B, H, W = 96, 2, 48, 64
+    means = jnp.asarray(np.concatenate(
+        [rng.randn(N, 2) * 0.8, 2.0 + rng.rand(N, 1) * 2.0], -1),
+        jnp.float32)
+    scales = jnp.asarray(0.02 + 0.05 * rng.rand(N, 3), jnp.float32)
+    rots = jnp.asarray(rng.randn(N, 4), jnp.float32)
+    rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
+    opac = jnp.asarray(0.2 + 0.7 * rng.rand(N), jnp.float32)
+    cols = jnp.asarray(rng.rand(N, 3), jnp.float32)
+    alive = jnp.asarray(rng.rand(N) > 0.2)
+    intr = jnp.asarray([60.0, 60.0, W / 2.0, H / 2.0])
+    w2cs = jnp.tile(jnp.eye(4), (B, 1, 1))
+    taus = jnp.asarray(0.01 * rng.randn(B, 6), jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    # K well above tile occupancy: margin entries are exact zeros under
+    # the ALPHA_MIN gate, but at a tight K they can displace real
+    # contributors past the cap (the production configs run K=128-256)
+    kw = dict(H=H, W=W, K=96)
+    base = rz.rasterize_batch(means, scales, rots, opac, cols, alive,
+                              w2cs, taus, intr, bg, **kw)
+    ids, cnt = rz.bin_batch(means, scales, rots, opac, alive, w2cs, taus,
+                            intr, **kw)
+    pre = rz.rasterize_batch(means, scales, rots, opac, cols, alive,
+                             w2cs, taus, intr, bg, None, ids, cnt, **kw)
+    np.testing.assert_allclose(np.asarray(pre.color),
+                               np.asarray(base.color), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pre.depth),
+                               np.asarray(base.depth), atol=1e-6)
+
+    ids_m, cnt_m = rz.bin_batch(means, scales, rots, opac, alive, w2cs,
+                                taus, intr, margin=4.0, **kw)
+    prem = rz.rasterize_batch(means, scales, rots, opac, cols, alive,
+                              w2cs, taus, intr, bg, None, ids_m, cnt_m,
+                              **kw)
+    np.testing.assert_allclose(np.asarray(prem.color),
+                               np.asarray(base.color), atol=1e-5)
+
+    # want_touched=False: identical images, zero n_touched
+    nt = rz.rasterize_batch(means, scales, rots, opac, cols, alive,
+                            w2cs, taus, intr, bg, want_touched=False,
+                            **kw)
+    np.testing.assert_allclose(np.asarray(nt.color),
+                               np.asarray(base.color), atol=1e-6)
+    assert int(jnp.sum(nt.n_touched)) == 0
+
+
+def test_overflow_accounting_and_pallas_capacity():
+    """VERDICT r1 #4: the rasterizer's bounded-work caps must be
+    observable. An over-dense tile (every Gaussian on one spot, tiny K)
+    must report tile-list overflow via raster_health, and the doubled
+    Gaussian capacity 262,144 must still satisfy the Pallas row cap
+    (no silent demotion to the XLA scan path)."""
+    rng = np.random.RandomState(0)
+    N, H, W = 64, 32, 32
+    # all Gaussians piled onto the image center → one over-dense tile
+    means = jnp.asarray(np.concatenate(
+        [rng.randn(N, 2) * 0.01, np.full((N, 1), 2.0)], -1), jnp.float32)
+    scales = jnp.full((N, 3), 0.05, jnp.float32)
+    rots = jnp.asarray(rng.randn(N, 4), jnp.float32)
+    rots = rots / jnp.linalg.norm(rots, axis=-1, keepdims=True)
+    opac = jnp.full((N,), 0.9, jnp.float32)
+    alive = jnp.ones(N, bool)
+    intr = jnp.asarray([40.0, 40.0, W / 2.0, H / 2.0])
+    w2cs = jnp.tile(jnp.eye(4), (1, 1, 1))
+    taus = jnp.zeros((1, 6))
+
+    K = 16   # far below the pile-up → guaranteed overflow
+    overflow, crop, max_count = rz.raster_health(
+        means, scales, rots, opac, alive, w2cs, taus, intr,
+        H=H, W=W, K=K)
+    assert int(max_count) > K
+    assert float(overflow) > 0.05
+    assert 0.0 <= float(crop) <= 1.0
+
+    # spread Gaussians → no overflow
+    means2 = jnp.asarray(np.concatenate(
+        [rng.uniform(-0.35, 0.35, (N, 2)), 2.0 + rng.rand(N, 1)], -1),
+        jnp.float32)
+    overflow2, _, _ = rz.raster_health(
+        means2, scales, rots, opac, alive, w2cs, taus, intr,
+        H=H, W=W, K=64)
+    assert float(overflow2) == 0.0
+
+    # capacity 2^18 stays under the Pallas compositor's row cap
+    assert 262144 <= rz._PALLAS_MAX_ROWS
+    assert 262144 % 128 == 0
+    # and the demotion above the cap is never silent
+    import io, contextlib, sys
+    rz._warned_demotion.discard(rz._PALLAS_MAX_ROWS * 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        assert not rz._pallas_ok(rz._PALLAS_MAX_ROWS * 2)
+    assert "demotes" in buf.getvalue()
+
+
+def test_mapper_log_raster_health(tmp_path):
+    """The mapper's periodic health log returns the packed accounting."""
+    from splatslam_tpu.mapping import gaussians as G
+    from splatslam_tpu.mapping.mapper import Mapper
+
+    class _Dummy:
+        pass
+
+    m = _Dummy()
+    m.current_window = [0]
+    m.K = 32
+    m.max_span = 4
+    m.H, m.W = 32, 32
+    m.intrinsics = jnp.asarray([40.0, 40.0, 16.0, 16.0])
+    m.printer = None
+    st = G.make_state(256)
+    rng = np.random.RandomState(1)
+    n = 128
+    new = dict(xyz=jnp.asarray(np.concatenate(
+        [rng.randn(n, 2) * 0.2, 2.0 + rng.rand(n, 1)], -1), jnp.float32),
+        color=jnp.asarray(rng.rand(n, 3), jnp.float32),
+        scales=jnp.log(jnp.full((n, 3), 0.03)),
+        valid=jnp.ones(n, bool), count=jnp.asarray(n))
+    m.st = G.insert_points(st, new, 0)
+    cam = _Dummy()
+    cam.w2c = np.eye(4, dtype=np.float32)
+    m.viewpoints = {0: cam}
+    out = Mapper.log_raster_health(m)
+    assert out is not None
+    overflow, crop, max_count = out
+    assert 0.0 <= overflow <= 1.0 and max_count >= 0
