@@ -444,15 +444,11 @@ class DepthVideo:
             ii_t, jj_t, target_t, weight_t = ii_np, jj_np, target, weight
             if self.mono_thres:
                 # drop edges touching frames with bad mono depth
-                # (depth_video.py:256-276); pulls stay bucket-shaped, the
-                # [:curr] trims happen on host numpy
-                avg_disps = np.asarray(est.mean(axis=(1, 2)))[:curr]
-                err_np = np.asarray(err_t)[:curr]
-                scale_np = np.asarray(scale_t)[:curr]
-                valid_frac = np.asarray(valid.mean(axis=(1, 2)))[:curr]
-                bad = ((err_np / np.clip(avg_disps, 1e-8, None) > self.mono_thres)
-                       | ~np.isfinite(err_np) | (scale_np < 0)
-                       | (valid_frac < 0.5))
+                # (depth_video.py:256-276); shared device helper (ONE
+                # fetch) — the fused tracking kernel applies the same
+                # rule as a per-edge weight mask (factor_graph)
+                bad = np.asarray(ba_ops.bad_mono_frames(
+                    mono, est, valid, float(self.mono_thres)))[:curr]
                 bad_frames = set(np.where(bad)[0].tolist())
                 keep = np.asarray([
                     (int(a) not in bad_frames) and (int(b) not in bad_frames)

@@ -136,14 +136,16 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
 
 
 @partial(jax.jit, static_argnames=("num_kf", "rounds", "opt_types",
-                                   "use_net", "mv_visible_num"))
+                                   "use_net", "mv_visible_num",
+                                   "use_mono_thres"))
 def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   mono_disps, depth_scale, depth_shift, valid_small,
                   gt_poses, gt_disps, net, target_act, weight_act,
                   target_in, weight_in, ii_act, jj_act, edge_valid_act,
                   in_valid, ix, uniq_act, plan, damping_maps, mv_thresh,
-                  EP, *, num_kf: int, rounds: int,
-                  opt_types: tuple, use_net: bool, mv_visible_num: int):
+                  EP, mono_thres=0.0, *, num_kf: int, rounds: int,
+                  opt_types: tuple, use_net: bool, mv_visible_num: int,
+                  use_mono_thres: bool = False):
     """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
 
     The reference runs each round as many separate device launches
@@ -203,7 +205,7 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
         weight_all = jnp.concatenate([weight_act, weight_in, tail_t], 0)
         eta = 0.2 * damping_maps[plan.kx] + EP
 
-        if opt_types[r] == "pose_depth":
+        def run_stage1(poses, disps):
             for _ in range(2):
                 dx, dz = _dba_iteration(
                     poses, disps, intrinsics, target_all, weight_all, eta,
@@ -215,6 +217,10 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                           * plan.kx_valid[:, None, None])
                 upd = jnp.clip(disps[plan.kx] + dz_img, 1e-5, None)
                 disps = disps.at[plan.kx].set(upd)
+            return poses, disps
+
+        if opt_types[r] == "pose_depth":
+            poses, disps = run_stage1(poses, disps)
         else:
             # stage-2: refresh the multiview mask + (w, q) init for the
             # touched frames (depth_video.py:236-251 semantics)
@@ -234,11 +240,56 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                                               valid_small[kx])
             depth_scale = depth_scale.at[kx].set(sc)
             depth_shift = depth_shift.at[kx].set(sh)
-            for _ in range(2):
-                disps, depth_scale, depth_shift = _scale_shift_iteration(
-                    poses, disps, intrinsics, target_all, weight_all, eta,
-                    mono_disps, depth_scale, depth_shift, valid_small,
-                    plan, 1e-4, 0.1, 0.01)
+
+            if use_mono_thres:
+                # bad-mono edge filtering ON DEVICE: the reference drops
+                # edges whose endpoints have a badly-fitting mono prior
+                # (depth_video.py:256-276, host-side there). Expressed as
+                # a per-edge weight mask + per-frame update mask — zero
+                # weight ≡ dropped edge in the normal equations, and
+                # frames left with no kept edge are frozen exactly like
+                # the reference's rebuilt edge plan. If EVERY edge drops,
+                # fall back to a stage-1 round (dspo() returning False →
+                # ba() retries "pose_depth").
+                from ..ops.ba import bad_mono_frames
+                bad = bad_mono_frames(mono_disps, disps, valid_small,
+                                      mono_thres)
+                keep_e = ((~bad[plan.ii]) & (~bad[plan.jj])
+                          & plan.edge_valid)
+                # the reference rebuilds the plan from kept edges; its kx
+                # still contains ALL of arange(t0,t1) (prior-only updates
+                # for frames whose edges dropped) — only out-of-range
+                # source frames (kx < t0) disappear with their edges
+                kept_per_k = jax.ops.segment_sum(
+                    keep_e.astype(jnp.float32),
+                    jnp.where(keep_e, plan.kk, plan.M),
+                    num_segments=plan.M + 1)[:-1] > 0
+                kx_mask = kept_per_k | (plan.kx >= plan.t0)
+                w2 = weight_all * keep_e[:, None, None, None]
+
+                def stage2(poses, disps, dsc, dsh):
+                    for _ in range(2):
+                        disps, dsc, dsh = _scale_shift_iteration(
+                            poses, disps, intrinsics, target_all, w2, eta,
+                            mono_disps, dsc, dsh, valid_small, plan,
+                            1e-4, 0.1, 0.01, kx_mask=kx_mask)
+                    return poses, disps, dsc, dsh
+
+                def stage1_fb(poses, disps, dsc, dsh):
+                    poses, disps = run_stage1(poses, disps)
+                    return poses, disps, dsc, dsh
+
+                (poses, disps, depth_scale, depth_shift) = jax.lax.cond(
+                    keep_e.any(), stage2, stage1_fb,
+                    poses, disps, depth_scale, depth_shift)
+            else:
+                for _ in range(2):
+                    disps, depth_scale, depth_shift = \
+                        _scale_shift_iteration(
+                            poses, disps, intrinsics, target_all,
+                            weight_all, eta, mono_disps, depth_scale,
+                            depth_shift, valid_small, plan,
+                            1e-4, 0.1, 0.01)
 
         # --- convex upsampling of the touched disparities -----------------
         uniq_safe = jnp.clip(uniq_act, 0, disps.shape[0] - 1)
@@ -251,6 +302,36 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
 
     return (poses, disps, disps_up, net_out, target_act, weight_act,
             damping_maps, depth_scale, depth_shift, valid_small)
+
+
+@partial(jax.jit, static_argnames=("num_kf", "rounds"))
+def _fused_motion_rounds(params, poses, disps, intrinsics, fmaps, inps,
+                         net, target, ii, jj, edge_valid, ix, plan, *,
+                         num_kf: int, rounds: int):
+    """`rounds` motion-only tracker rounds — GRU update + MoBA — in ONE
+    device program.
+
+    The TrajectoryFiller hot path: the reference runs 12 separate
+    update(motion_only=True) dispatch chains per 16-frame batch
+    (thirdparty/glorie_slam/trajectory_filler.py:85-90), each paying an
+    update-kernel launch, host target/weight pulls, and a BA dispatch.
+    Here the whole refinement is one program; only the final pose read
+    leaves the device."""
+    from ..ops.ba import dba
+    h, w = disps.shape[-2:]
+    eta0 = jnp.zeros((plan.M, h, w))        # unused by motion-only solves
+    sens0 = jnp.zeros_like(disps)
+
+    def body(_, carry):
+        poses, net, target = carry
+        net, target, weight, _, _, _, _ = _update_kernel(
+            params, poses, disps, intrinsics, fmaps, inps, net, target,
+            ii, jj, edge_valid, ix, num_kf)
+        poses, _ = dba(poses, disps, intrinsics, target, weight, eta0,
+                       sens0, plan, iters=2, motion_only=True)
+        return poses, net, target
+
+    return jax.lax.fori_loop(0, rounds, body, (poses, net, target))
 
 
 class FactorGraph:
@@ -569,15 +650,11 @@ class FactorGraph:
                       EP=1e-7):
         """Run len(opt_types) update rounds in ONE device dispatch.
 
-        Falls back to per-round update() when the fused path can't express
-        the configuration (mono_thres edge filtering is host-side)."""
+        mono_thres bad-mono edge filtering runs ON DEVICE inside
+        _fused_rounds (per-edge weight mask), so every configuration —
+        including ScanNet/TUM defaults with mono_thres set — takes the
+        fused path."""
         if len(self.ii) == 0:
-            return
-        needs_stage2 = any(t == "depth_scale" for t in opt_types)
-        if self.video.mono_thres and needs_stage2:
-            for t in opt_types:
-                self.update(t0=t0, t1=t1, use_inactive=use_inactive, EP=EP,
-                            opt_type=t)
             return
         if self.video.BA_type != "DSPO":
             opt_types = tuple("pose_depth" for _ in opt_types)
@@ -660,9 +737,12 @@ class FactorGraph:
                 jnp.asarray(valid), jnp.asarray(in_valid),
                 jnp.asarray(ix, jnp.int32),
                 jnp.asarray(uniq_pad, jnp.int32), plan, self.damping_maps,
-                mv_cfg["thresh"], EP, num_kf=Mk, rounds=len(opt_types),
+                mv_cfg["thresh"], EP,
+                float(self.video.mono_thres or 0.0),
+                num_kf=Mk, rounds=len(opt_types),
                 opt_types=tuple(opt_types), use_net=not self.oracle,
-                mv_visible_num=mv_cfg["visible_num"])
+                mv_visible_num=mv_cfg["visible_num"],
+                use_mono_thres=bool(self.video.mono_thres))
 
         s.poses = poses
         s.disps = disps
@@ -676,6 +756,32 @@ class FactorGraph:
         self.target = target_act
         self.weight = weight_act
         self.age += len(opt_types)
+
+    def update_rounds_motion_only(self, rounds, t0, t1):
+        """`rounds` motion-only update rounds (GRU + MoBA) in ONE device
+        dispatch — poses in [t0, t1) move, everything else is frozen.
+        Used by the TrajectoryFiller (trajectory_filler.py:85-90)."""
+        if len(self.ii) == 0:
+            return
+        from ..ops import ba as ba_ops
+        ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
+        # small pose bucket: the filler's window is ≤16 new frames, so the
+        # pose system stays ≤ (16·6)² instead of the tracker's
+        # buffer-floored bucket
+        plan = ba_ops.make_edge_plan(ii_p, jj_p, int(t0), int(t1),
+                                     valid=valid, edge_bucket=len(ii_p),
+                                     pose_bucket=16)
+        s = self.video.state
+        poses, net, target = _fused_motion_rounds(
+            self.params, s.poses, s.disps, s.intrinsics[0], s.fmaps,
+            s.inps, self.net, self.target,
+            jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
+            jnp.asarray(valid), jnp.asarray(ix, jnp.int32), plan,
+            num_kf=Mk, rounds=rounds)
+        s.poses = poses
+        self.net = net
+        self.target = target
+        self.age += rounds
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,
                       EP=1e-7, steps=8, enable_wq=True):

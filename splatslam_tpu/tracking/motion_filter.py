@@ -56,6 +56,16 @@ def encode_features(params, image):
 
 
 @jax.jit
+def encode_features_batch(params, images):
+    """images (B,H,W,3) → fmaps (B,h,w,128): ONE conv-encoder program for
+    a whole frame batch (the TrajectoryFiller encodes 16 frames at a
+    time — per-frame dispatches left the MXU idle between launches)."""
+    net = DroidNet(dtype=compute_dtype())
+    inputs = normalize_images(_to_float(images))
+    return net.apply({"params": params}, inputs, method=DroidNet.features)
+
+
+@jax.jit
 def encode_context(params, image):
     net = DroidNet(dtype=compute_dtype())
     inputs = normalize_images(_to_float(image))[None]

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..ops import lie
 from .factor_graph import FactorGraph
-from .motion_filter import encode_features
+from .motion_filter import encode_features_batch
 
 
 class PoseTrajectoryFiller:
@@ -21,7 +21,13 @@ class PoseTrajectoryFiller:
         self.video = video
 
     def _fill(self, timestamps, images, intrinsics):
-        """One ≤16-frame batch (trajectory_filler.py:48-95)."""
+        """One ≤16-frame batch (trajectory_filler.py:48-95).
+
+        Device choreography (vs the reference's 12 separate
+        update(motion_only=True) chains): ONE batched feature-encode
+        program, M pseudo-keyframe writes (pose+fmap only — the update
+        operator never reads the new frames' images), ONE fused
+        12-round GRU+MoBA program, ONE pose fetch."""
         N = self.video.counter
         M = len(timestamps)
         s = self.video.state
@@ -38,22 +44,21 @@ class PoseTrajectoryFiller:
         w = v * jnp.asarray(tt - ts[t0])[:, None]
         Gs = lie.mul(lie.exp(w), Ps[jnp.asarray(t0)])
 
-        # temporarily append the batch as pseudo-keyframes
-        fmap = jnp.stack([encode_features(self.params, im) for im in images])
+        # temporarily append the batch as pseudo-keyframes; edges always
+        # point keyframe→new (ii = bracketing kf), so only poses + fmaps
+        # of the new frames are ever read — images are not uploaded
+        fmap = encode_features_batch(self.params, jnp.stack(images))
         intr8 = jnp.asarray(intrinsics[0]) / float(self.video.down)
         for m in range(M):
             self.video.set_item(
-                N + m, float(tt[m]), images[m] * 255.0, Gs[m], 1.0, None,
+                N + m, float(tt[m]), None, Gs[m], 1.0, None,
                 intr8, fmap[m])
         self.video.counter = N + M
 
         graph = FactorGraph(self.video, self.params, upsample=False)
         graph.add_factors(t0, np.arange(N, N + M))
         graph.add_factors(t1, np.arange(N, N + M))
-        # motion-only rounds stay per-call (pose-only solves are tiny);
-        # fusing would need a motion_only opt_type — keep simple for now
-        for _ in range(12):
-            graph.update(N, N + M, motion_only=True)
+        graph.update_rounds_motion_only(12, N, N + M)
 
         out = np.asarray(self.video.state.poses[N:N + M])
         self.video.counter = N

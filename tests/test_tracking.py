@@ -262,3 +262,115 @@ def test_oracle_flow_matches_frame_distance_kernel():
         jnp.asarray(np.stack([p0, p1])), jnp.asarray(np.stack([d0, d1])),
         jnp.asarray(intr8), jnp.asarray([0]), jnp.asarray([1]), 1.0)[0])
     assert abs(got - ref) < 1e-3 * max(ref, 1.0)
+
+
+def test_mono_thres_fused_matches_host(params):
+    """The on-device mono_thres edge filter inside _fused_rounds must drop
+    the same edges as the host implementation (DepthVideo.dspo): same
+    disps/scales/shifts after one depth_scale round, both when SOME
+    frames have a bad mono prior and when ALL do (stage-1 fallback)."""
+    import dataclasses
+
+    def build_video(bad_frames):
+        cfg = small_cfg()
+        cfg["tracking"]["mono_thres"] = 0.1
+        video = DepthVideo(cfg)
+        intr8 = jnp.asarray([5.0, 5.0, 6.0, 4.0])
+        frames = synth_frames(6)
+        key = jax.random.PRNGKey(3)
+        for k, f in enumerate(frames):
+            fmap = jax.random.normal(jax.random.fold_in(key, k),
+                                     (8, 12, 128)) * 0.1
+            z = jnp.zeros((8, 12, 128))
+            video.append(float(k), jnp.asarray(f) * 255, None, 1.0, None,
+                         intr8, fmap, z, z)
+        s = video.state
+        rng = np.random.RandomState(7)
+        # spatially VARYING but multiview-CONSISTENT disparity: constant
+        # disps make (scale, shift) unidentifiable (near-singular 2x2
+        # system → rounding noise), and per-frame-offset disps fail the
+        # multiview filter (identity poses) leaving ~3 valid pixels —
+        # an ill-conditioned fit where jit-vs-eager rounding diverges
+        ys, xs = np.meshgrid(np.arange(8), np.arange(12), indexing="ij")
+        base = 0.6 + 0.3 * np.sin(xs / 3.0) * np.cos(ys / 2.0)
+        dsp = np.stack([base] * 6).astype(np.float32)
+        s.disps = s.disps.at[:6].set(jnp.asarray(dsp))
+        mono = (dsp * 0.5 + 0.1).astype(np.float32)   # good linear fit
+        for b in bad_frames:
+            mono[b] = 0.05 + 2.0 * rng.rand(8, 12)  # uncorrelated → bad fit
+        s.mono_disps = s.mono_disps.at[:6].set(jnp.asarray(mono))
+        video.update_valid_depth_mask(up=False)
+        return video
+
+    for bad in ([3], [0, 1, 2, 3, 4, 5]):
+        video = build_video(bad)
+        snap = dataclasses.replace(video.state)
+
+        g1 = FactorGraph(video, params, max_factors=48)
+        g1.add_neighborhood_factors(0, 6, r=2)
+        g1.update(t0=1, itrs=2, opt_type="depth_scale")
+        host = (np.asarray(video.state.disps[:6]),
+                np.asarray(video.state.depth_scale[:6]),
+                np.asarray(video.state.depth_shift[:6]))
+
+        video.state = snap
+        g2 = FactorGraph(video, params, max_factors=48)
+        g2.add_neighborhood_factors(0, 6, r=2)
+        g2.update_rounds(("depth_scale",), t0=1)
+        fused = (np.asarray(video.state.disps[:6]),
+                 np.asarray(video.state.depth_scale[:6]),
+                 np.asarray(video.state.depth_shift[:6]))
+
+        for h, f, name in zip(host, fused, ("disps", "scale", "shift")):
+            np.testing.assert_allclose(
+                f, h, atol=2e-4, rtol=1e-3,
+                err_msg=f"{name} mismatch (bad={bad})")
+
+
+def test_fused_motion_only_matches_per_round(params):
+    """update_rounds_motion_only (ONE program, TrajectoryFiller hot
+    path — VERDICT r1 #5) must match N separate
+    update(motion_only=True) rounds: same poses after 3 rounds, and
+    only the [t0, t1) pose window moves."""
+    import dataclasses
+
+    cfg = small_cfg()
+    video = DepthVideo(cfg)
+    intr8 = jnp.asarray([5.0, 5.0, 6.0, 4.0])
+    frames = synth_frames(8)
+    key = jax.random.PRNGKey(5)
+    for k, f in enumerate(frames):
+        fmap = jax.random.normal(jax.random.fold_in(key, k),
+                                 (8, 12, 128)) * 0.1
+        z = jnp.zeros((8, 12, 128))
+        video.append(float(k), jnp.asarray(f) * 255, None, 1.0, None,
+                     intr8, fmap, z, z)
+    # give frames 6..7 ("non-keyframes" being filled) a pose offset so
+    # motion-only BA has real work
+    s = video.state
+    s.poses = s.poses.at[6, 4].add(0.02).at[7, 5].add(-0.015)
+    snap = dataclasses.replace(video.state)
+    p0 = np.asarray(snap.poses[:8]).copy()
+
+    def run(fused):
+        # the runtime mutates video.state fields in place — hand it a
+        # fresh dataclass copy so `snap`/`p0` stay pristine
+        video.state = dataclasses.replace(snap)
+        g = FactorGraph(video, params, upsample=False)
+        g.add_factors(np.asarray([4, 4]), np.asarray([6, 7]))
+        g.add_factors(np.asarray([5, 5]), np.asarray([6, 7]))
+        if fused:
+            g.update_rounds_motion_only(3, 6, 8)
+        else:
+            for _ in range(3):
+                g.update(6, 8, motion_only=True)
+        return np.asarray(video.state.poses[:8])
+
+    ref = run(fused=False)
+    fused = run(fused=True)
+
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-4)
+    # frozen frames untouched
+    np.testing.assert_array_equal(fused[:6], p0[:6])
+    # the filled poses actually moved
+    assert np.abs(fused[6:8] - p0[6:8]).max() > 1e-5
