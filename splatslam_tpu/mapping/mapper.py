@@ -37,12 +37,14 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "opt_poses",
-                                   "sh_degree"))
+                                   "sh_degree", "want_touched", "max_span"))
 def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
              depths, exposure, use_exposure, cam_valid, opt_pose_mask,
              intrinsics, lrs, cam_lrs, step, iso_weight,
+             tile_ids=None, tile_counts=None,
              *, H: int, W: int, K: int, use_ssim: bool, alpha: float,
-             opt_poses: bool = False, sh_degree: int = 0):
+             opt_poses: bool = False, sh_degree: int = 0,
+             want_touched: bool = True, max_span: int = 4):
     """One mapping iteration over a stacked camera batch.
 
     st: Gaussian state; exp_state: (m, v) adam moments for exposure (B,2);
@@ -93,11 +95,15 @@ def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
             cols = jnp.clip(G.sh_to_rgb(params["f_dc"]), 0.0, None)
 
         # ONE batched render for the whole camera window (binning rides a
-        # single multi-row sort; compositing folds cameras into tiles)
+        # single multi-row sort; compositing folds cameras into tiles).
+        # tile_ids/tile_counts: reuse a recent binning when given
+        # (map_step_n rebins on a cadence — the sort was ~1/6 of a step).
         out = rz.rasterize_batch(
             params["xyz"], scal, params["rotation"], opac, cols,
             st.alive, w2cs, taus, intrinsics, bg,
-            means2d_dummy=dummy, H=H, W=W, K=K)
+            means2d_dummy=dummy, tile_ids=tile_ids,
+            tile_counts=tile_counts, H=H, W=W, K=K,
+            want_touched=want_touched, max_span=max_span)
         image_ab = jnp.where(
             use_exposure[:, None, None, None],
             jnp.exp(exposure[:, 0, None, None, None]) * out.color
@@ -174,13 +180,15 @@ def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
 
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "lr_sched",
-                                   "opt_poses", "sh_degree"))
+                                   "opt_poses", "sh_degree", "rebin_every",
+                                   "rebin_margin", "max_span"))
 def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
                depths, exposure, use_exposure, cam_valid, opt_pose_mask,
                intrinsics, lr_scalars, cam_lrs, step0, n_iters, iso_weight,
                *, H: int, W: int, K: int, use_ssim: bool,
                alpha: float, lr_sched=None, opt_poses: bool = False,
-               sh_degree: int = 0):
+               sh_degree: int = 0, rebin_every: int = 8,
+               rebin_margin: float = 4.0, max_span: int = 4):
     """`n_iters` mapping iterations in ONE device program.
 
     The per-dispatch host↔device round trip dominates wall-clock when the
@@ -188,32 +196,68 @@ def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
     fusing the loop with lax.fori_loop amortizes it away. The xyz learning
     rate is rescheduled per iteration on-device (lr_sched = (init, final,
     delay_mult, max_steps) scalars), other lrs are fixed scalars.
+
+    Two more amortizations over the per-iteration reference structure
+    (both measured on the profile of map_step at Replica scale):
+      * tile binning (the multi-million-key sort, ~1/6 of a step) runs
+        every `rebin_every` iterations with a `rebin_margin`-pixel
+        footprint margin — means drift well under a pixel per Adam step
+        at the reference learning rates, so the lists stay conservative;
+      * the per-Gaussian n_touched accumulation (only consumed at
+        densify/visibility gates) is skipped in the loop; the LAST
+        iteration runs with a fresh binning and want_touched=True.
     """
     lrs_fixed = lr_scalars
+    Bc, C = w2cs.shape[0], st.xyz.shape[0]
+    ntx = (W + 15) // 16
+    nty = (H + 15) // 16
+    T = ntx * nty
 
-    def body(i, carry):
-        (st, exp_state, tau_state, w2cs, exposure, radii, n_touched,
-         loss) = carry
-        step = step0 + i
+    def lrs_at(step):
         if lr_sched is not None:
             xyz_lr = G.xyz_lr(step.astype(jnp.float32), *lr_sched)
         else:
             xyz_lr = lrs_fixed["xyz"]
-        lrs = dict(lrs_fixed, xyz=xyz_lr)
-        return map_step(
-            st, exp_state, tau_state, w2cs, images, depths, exposure,
-            use_exposure, cam_valid, opt_pose_mask, intrinsics, lrs,
-            cam_lrs, step + 1, iso_weight,
-            H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha,
-            opt_poses=opt_poses, sh_degree=sh_degree)
+        return dict(lrs_fixed, xyz=xyz_lr)
 
-    Bc, C = w2cs.shape[0], st.xyz.shape[0]
+    def rebin(st, w2cs):
+        return rz.bin_batch(
+            st.xyz, jnp.exp(st.scaling), st.rotation,
+            jax.nn.sigmoid(st.opacity)[:, 0], st.alive, w2cs,
+            jnp.zeros((Bc, 6)), intrinsics, H=H, W=W, K=K,
+            margin=rebin_margin, max_span=max_span)
+
+    def body(i, carry):
+        (st, exp_state, tau_state, w2cs, exposure, tids, tcnt) = carry
+        tids, tcnt = jax.lax.cond(
+            i % rebin_every == 0,
+            lambda: rebin(st, w2cs),
+            lambda: (tids, tcnt))
+        step = step0 + i
+        (st, exp_state, tau_state, w2cs, exposure, _, _, _) = map_step(
+            st, exp_state, tau_state, w2cs, images, depths, exposure,
+            use_exposure, cam_valid, opt_pose_mask, intrinsics,
+            lrs_at(step), cam_lrs, step + 1, iso_weight, tids, tcnt,
+            H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha,
+            opt_poses=opt_poses, sh_degree=sh_degree, want_touched=False,
+            max_span=max_span)
+        return (st, exp_state, tau_state, w2cs, exposure, tids, tcnt)
+
     init = (st, exp_state, tau_state, jnp.asarray(w2cs),
             jnp.asarray(exposure),
-            jnp.zeros((Bc, C)), jnp.zeros((Bc, C), jnp.int32),
-            jnp.asarray(0.0))
+            jnp.zeros((Bc, T, K), jnp.int32), jnp.zeros((Bc, T), jnp.int32))
     # traced n_iters: ONE compiled program serves every segment length
-    return jax.lax.fori_loop(0, n_iters, body, init)
+    (st, exp_state, tau_state, w2cs, exposure, _, _) = jax.lax.fori_loop(
+        0, n_iters - 1, body, init)
+    # final iteration: fresh binning + touch counts for the gate logic
+    step = step0 + n_iters - 1
+    return map_step(
+        st, exp_state, tau_state, w2cs, images, depths, exposure,
+        use_exposure, cam_valid, opt_pose_mask, intrinsics, lrs_at(step),
+        cam_lrs, step + 1, iso_weight,
+        H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha,
+        opt_poses=opt_poses, sh_degree=sh_degree, want_touched=True,
+        max_span=max_span)
 
 
 def deform_points(st: G.GaussianState, frame_id, w2c_new, w2c_old,
@@ -288,6 +332,37 @@ class Mapper:
         self.H = cfg["cam"]["H_out"]
         self.W = cfg["cam"]["W_out"]
         self.K = m.get("raster_K", 256)
+        # tile-binning cadence inside fused optimization segments (see
+        # map_step_n): rebin every N iters with a footprint margin
+        self.rebin_every = m.get("rebin_every", 8)
+        # raster_health logging cadence (keyframes); the rasterizer's
+        # two bounded-work caps (K contributors/tile, max_span tile
+        # footprint) must never be a silent quality cliff
+        self.health_every = m.get("health_every", 10)
+        self._mapped_count = 0
+        # binning footprint caps (ADVICE r1: configurable per call site —
+        # exactness holds for radius <= 4*TILE px in training; eval
+        # renders default to a wider window for fidelity)
+        self.max_span = m.get("raster_max_span", 4)
+        self.eval_max_span = m.get("eval_max_span", 8)
+        # optional device mesh: shard every optimization segment's camera
+        # batch over "cam" (data-parallel rasterization; the replicated
+        # Gaussian map's gradients all-reduce over ICI). 0 = single chip.
+        self.mesh = None
+        n_mesh = int(m.get("mesh_devices", 0) or 0)
+        if n_mesh > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            devs = jax.devices()
+            if len(devs) >= n_mesh:
+                self.mesh = Mesh(np.asarray(devs[:n_mesh]), ("cam",))
+                self._shard_cam = NamedSharding(self.mesh,
+                                                PartitionSpec("cam"))
+                self._shard_repl = NamedSharding(self.mesh,
+                                                 PartitionSpec())
+                self.mesh_size = n_mesh
+            else:
+                print(f"[mapper] mesh_devices={n_mesh} requested but only "
+                      f"{len(devs)} devices visible — running single-chip")
         # spherical_harmonics: True → sh_degree 3 (reference mapper.py:78-85)
         self.sh_degree = 3 if tr.get("spherical_harmonics", False) \
             else m["model_params"]["sh_degree"]
@@ -416,7 +491,8 @@ class Mapper:
             self.st.xyz, G.get_scaling(self.st), self.st.rotation,
             G.get_opacity(self.st)[:, 0], cols,
             self.st.alive, cam.w2c, jnp.zeros(6), self.intrinsics,
-            jnp.zeros(3), H=self.H, W=self.W, K=self.K)
+            jnp.zeros(3), H=self.H, W=self.W, K=self.K,
+            max_span=self.eval_max_span)
 
     def render_batch(self, cams):
         """Render several cameras in ONE program (eval path; binning and
@@ -439,7 +515,8 @@ class Mapper:
             self.st.xyz, G.get_scaling(self.st), self.st.rotation,
             G.get_opacity(self.st)[:, 0], cols, self.st.alive,
             jnp.asarray(w2cs), jnp.zeros((Bp, 6)), self.intrinsics,
-            jnp.zeros(3), H=self.H, W=self.W, K=self.K)
+            jnp.zeros(3), H=self.H, W=self.W, K=self.K,
+            max_span=self.eval_max_span)
         return rz.RenderOutput(
             color=out.color[:B], depth=out.depth[:B], alpha=out.alpha[:B],
             radii=out.radii[:B], n_touched=out.n_touched[:B],
@@ -463,7 +540,10 @@ class Mapper:
 
     def _stack_cams(self, cams):
         n = len(cams)
-        B = _round_up(n, 4)  # fixed batch buckets → one compile per bucket
+        # fixed batch buckets → one compile per bucket; under a mesh the
+        # bucket must also divide evenly across the "cam" axis
+        B = _round_up(n, 4 if self.mesh is None
+                      else max(4, self.mesh_size))
         pad = B - n
         w2cs = jnp.stack([c.w2c for c in cams] + [jnp.eye(4)] * pad)
         imgs = jnp.stack([c.image for c in cams]
@@ -522,6 +602,19 @@ class Mapper:
         pose_mask = jnp.asarray(pose_mask_host)
         cam_lrs = (jnp.asarray(0.5 * self.lr_cam_trans),
                    jnp.asarray(0.5 * self.lr_cam_rot))
+        if self.mesh is not None:
+            # data-parallel over "cam": per-camera tensors sharded, the
+            # Gaussian map replicated (gradient all-reduce rides ICI).
+            # map_step_n's outputs keep these shardings, so one placement
+            # before the loop covers every fused segment.
+            shard = lambda x: jax.device_put(x, self._shard_cam)
+            w2cs, imgs, deps, expo = (shard(w2cs), shard(imgs),
+                                      shard(deps), shard(expo))
+            use_exp, valid, pose_mask = (shard(use_exp), shard(valid),
+                                         shard(pose_mask))
+            exp_m, exp_v = shard(exp_m), shard(exp_v)
+            tau_m, tau_v = shard(tau_m), shard(tau_v)
+            self.st = jax.device_put(self.st, self._shard_repl)
         last = None
 
         lr_sched = (self.opt["position_lr_init"] * self.spatial_lr_scale,
@@ -566,7 +659,8 @@ class Mapper:
                 jnp.asarray(iso_weight),
                 H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
                 alpha=self.alpha, lr_sched=lr_sched, opt_poses=opt_poses,
-                sh_degree=self.sh_degree)
+                sh_degree=self.sh_degree, rebin_every=self.rebin_every,
+                max_span=self.max_span)
             self.iteration_count += seg_b
             done += seg_b
             last = (radii, n_touched, loss)
@@ -892,9 +986,42 @@ class Mapper:
         with T("map.opt"):
             self.map(self.current_window, iters=self.mapping_itr_num)
             self.map(self.current_window, prune=True)
+        self._mapped_count += 1
+        if self.health_every and self._mapped_count % self.health_every == 0:
+            self.log_raster_health()
         if self.online_plotting:
             self.plot_online(video_idx)
         return True
+
+    def log_raster_health(self):
+        """Accounting of the rasterizer's bounded-work caps over the
+        current window (never silent — the CUDA reference has no caps).
+        Warns when the tile-list overflow beyond K exceeds 1%."""
+        cams = [self.viewpoints[k] for k in self.current_window
+                if k in self.viewpoints]
+        if not cams:
+            return None
+        from ..ops import rasterizer as rz
+        w2cs = jnp.asarray(np.stack([np.asarray(c.w2c) for c in cams]))
+        overflow, crop, max_count = rz.raster_health(
+            self.st.xyz, G.get_scaling(self.st), self.st.rotation,
+            G.get_opacity(self.st)[:, 0], self.st.alive, w2cs,
+            jnp.zeros((w2cs.shape[0], 6)), self.intrinsics,
+            H=self.H, W=self.W, K=self.K, max_span=self.max_span)
+        packed = np.asarray(jnp.stack(
+            [overflow, crop, max_count.astype(jnp.float32)]))  # ONE fetch
+        overflow, crop, max_count = (float(packed[0]), float(packed[1]),
+                                     int(packed[2]))
+        msg = (f"raster health: tile overflow {overflow:.2%} "
+               f"(K={self.K}, densest tile {max_count}), "
+               f"max_span crop {crop:.2%}")
+        emit = self.printer.print if self.printer else print
+        if overflow > 0.01:
+            emit(f"WARNING {msg} — overflow >1%: raise mapping.raster_K "
+                 "or densify/prune more aggressively")
+        else:
+            emit(msg)
+        return overflow, crop, max_count
 
     def plot_online(self, video_idx):
         """Per-keyframe RGB/depth/diff panel (mapper.py:358-396,570-612)."""

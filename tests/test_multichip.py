@@ -27,3 +27,74 @@ def test_entry_compiles():
     with jax.default_device(jax.devices("cpu")[0]):
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
+
+
+def test_mapper_mesh_step_matches_single_device():
+    """VERDICT r1 #6: the production mapper's mesh option must be
+    numerically equivalent to the single-device path — one fused
+    map_step_n segment, same inputs, 8-device "cam" mesh vs default
+    placement."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from splatslam_tpu.mapping import gaussians as G
+    from splatslam_tpu.mapping.mapper import map_step_n
+
+    cpu = jax.devices("cpu")
+    mesh = Mesh(np.asarray(cpu[:8]), ("cam",))
+    s_cam = NamedSharding(mesh, P("cam"))
+    s_rep = NamedSharding(mesh, P())
+
+    H, W, K, C, B = 32, 32, 32, 512, 8
+    rng = jax.random.PRNGKey(0)
+    st = G.make_state(C)
+    n = 128
+    new = dict(xyz=jnp.concatenate(
+        [jax.random.normal(rng, (n, 2)) * 0.5,
+         1.5 + jax.random.uniform(rng, (n, 1))], -1),
+        color=jax.random.uniform(rng, (n, 3)),
+        scales=jnp.log(jnp.full((n, 3), 0.05)),
+        valid=jnp.ones(n, bool), count=jnp.asarray(n))
+    st = G.insert_points(st, new, 0)
+
+    w2cs = jnp.tile(jnp.eye(4), (B, 1, 1))
+    imgs = jax.random.uniform(jax.random.fold_in(rng, 1), (B, H, W, 3))
+    deps = jnp.full((B, H, W), 1.8)
+    expo = jnp.zeros((B, 2))
+    ones_b = jnp.ones((B,), bool)
+    pose_mask = jnp.zeros((B,), bool)
+    intr = jnp.asarray([20.0, 20.0, W / 2.0, H / 2.0])
+    lrs = dict(xyz=0.0, f_dc=0.0025, f_rest=1e-4, opacity=0.05,
+               scaling=0.001, rotation=0.001)
+    cam_lrs = (jnp.asarray(5e-4), jnp.asarray(1.5e-3))
+    zeros2 = (jnp.zeros((B, 2)), jnp.zeros((B, 2)))
+    zeros6 = (jnp.zeros((B, 6)), jnp.zeros((B, 6)))
+
+    def run(sharded):
+        if sharded:
+            put_c = lambda x: jax.device_put(x, s_cam)
+            put_r = lambda x: jax.device_put(x, s_rep)
+        else:
+            put_c = put_r = lambda x: x
+        stp = jax.tree_util.tree_map(put_r, st)
+        out = map_step_n(
+            stp, (put_c(zeros2[0]), put_c(zeros2[1])),
+            (put_c(zeros6[0]), put_c(zeros6[1])),
+            put_c(w2cs), put_c(imgs), put_c(deps), put_c(expo),
+            put_c(ones_b), put_c(ones_b), put_c(pose_mask), intr,
+            lrs, cam_lrs, jnp.asarray(0), jnp.asarray(4),
+            jnp.asarray(10.0),
+            H=H, W=W, K=K, use_ssim=False, alpha=0.8)
+        st2, _, _, _, _, _, n_touched, loss = out
+        return (np.asarray(st2.xyz), np.asarray(st2.opacity),
+                np.asarray(n_touched), float(loss))
+
+    xyz1, opa1, nt1, loss1 = run(sharded=False)
+    xyz8, opa8, nt8, loss8 = run(sharded=True)
+    assert np.isfinite(loss8)
+    # reductions reorder across devices → fp-level tolerance only
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    np.testing.assert_allclose(xyz8, xyz1, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(opa8, opa1, atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(nt8, nt1)
