@@ -340,7 +340,9 @@ def _dba_iteration(poses, disps, intrinsics, target, weight, eta,
     disps_k = disps[plan.kx].reshape(M, HW)
     C = C + msk * alpha + (1.0 - msk) * eta.reshape(M, HW)
     w = w - msk * alpha * (disps_k - sens)
-    Q = 1.0 / C                                       # (M,HW)
+    # zero-coverage rows (e.g. bucketed padding with eta=0) must yield
+    # dz=0, not inf*0=NaN
+    Q = jnp.where(C != 0, 1.0 / jnp.where(C != 0, C, 1.0), 0.0)  # (M,HW)
 
     # accumulated ii-side coupling block per depth frame (pose == depth frame)
     Ei_acc = jax.ops.segment_sum(Ei, kseg, num_segments=M + 1)[:-1]  # (M,6,HW)
@@ -441,10 +443,18 @@ def dba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
         new_p = lie.retr(poses[pose_idx], dx.astype(poses.dtype))
         poses = poses.at[pose_idx].set(lie.normalize(new_p))
         if dz is not None:
+            # Padded kx rows repeat kx[-1]; a duplicate-index .set would
+            # nondeterministically clobber that frame's update. Scatter-ADD
+            # the masked increments (padding contributes exactly 0), then
+            # clip only the frames the plan actually touches.
             dz_img = dz.reshape(plan.M, H_img, W_img)
             dz_img = dz_img * plan.kx_valid[:, None, None]
-            upd = jnp.clip(disps[plan.kx] + dz_img, 1e-5, None)
-            disps = disps.at[plan.kx].set(upd)
+            delta = jnp.zeros_like(disps).at[plan.kx].add(
+                dz_img.astype(disps.dtype))
+            touched = jnp.zeros((disps.shape[0],), disps.dtype).at[
+                plan.kx].add(plan.kx_valid.astype(disps.dtype)) > 0
+            upd = jnp.clip(disps + delta, 1e-5, None)
+            disps = jnp.where(touched[:, None, None], upd, disps)
         return poses, disps
 
     return jax.lax.fori_loop(0, iters, body, (poses, disps))
@@ -454,11 +464,30 @@ def dba(poses, disps, intrinsics, target, weight, eta, sensor_disps,
 # stage-2 DSPO: joint disparity / scale / shift (eq. 17), per-frame Schur
 # ---------------------------------------------------------------------------
 
+def bad_mono_frames(mono_disps, disps, valid_small, mono_thres):
+    """Per-frame bad-mono-prior detection (depth_video.py:256-276 parity).
+
+    A frame's mono prior is 'bad' when the closed-form scale/shift fit of
+    mono→estimated disparity has relative error > mono_thres, a negative
+    scale, a non-finite error, or <50% multiview-valid pixels. Shared by
+    the host DSPO path and the fused tracking-rounds kernel so both drop
+    the same edges. Returns (B,) bool."""
+    sc, _, err = align_scale_and_shift(mono_disps, disps, valid_small)
+    avg = disps.mean(axis=(-2, -1))
+    vfrac = valid_small.astype(disps.dtype).mean(axis=(-2, -1))
+    return ((err / jnp.clip(avg, 1e-8) > mono_thres)
+            | ~jnp.isfinite(err) | (sc < 0) | (vfrac < 0.5))
+
+
 def _scale_shift_iteration(poses, disps, intrinsics, target, weight, eta,
                            mono_disps, scales, shifts, valid_depth_mask,
-                           plan: EdgePlan, lm=1e-4, ep=0.1, alpha=0.01):
+                           plan: EdgePlan, lm=1e-4, ep=0.1, alpha=0.01,
+                           kx_mask=None):
     """One GN iteration of stage-2 DSPO (core shared by ba_scale_shift
-    and the fused tracking rounds kernel)."""
+    and the fused tracking rounds kernel). kx_mask (M,) bool, optional:
+    depth frames whose updates apply (frames with all edges dropped by
+    the mono_thres filter are frozen, matching the reference's rebuilt
+    edge plan)."""
     H_img, W_img = disps.shape[-2:]
     HW = H_img * W_img
     M = plan.M
@@ -523,6 +552,8 @@ def _scale_shift_iteration(poses, disps, intrinsics, target, weight, eta,
     dz = Q * (w - (E0 * dws[:, None] + E1 * dq[:, None]))
     fin = jnp.isfinite(dz).all(-1) & jnp.isfinite(dws) & jnp.isfinite(dq)
     ok = fin & plan.kx_valid
+    if kx_mask is not None:
+        ok = ok & kx_mask
     dz = jnp.where(ok[:, None], dz, 0.0)
     dws = jnp.where(ok, dws, 0.0)
     dq = jnp.where(ok, dq, 0.0)

@@ -185,3 +185,208 @@ def load_selftrained(path: str):
     template = init_params()
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: training THROUGH the differentiable BA layer (DROID's actual
+# training signal — pose/depth supervision after the solver). Reference:
+# the droid.pth shipped by the reference was trained this way; flow-only
+# pretraining (above) gives a tracker whose weight/damping heads have
+# never seen how the solver uses them.
+# ---------------------------------------------------------------------------
+
+def seq_edges(N: int, r: int = 2):
+    """Neighborhood edge set over an N-frame training sequence (both
+    directions, |i-j| <= r — the frontend's add_neighborhood_factors)."""
+    ii, jj = [], []
+    for i in range(N):
+        for j in range(N):
+            if i != j and abs(i - j) <= r:
+                ii.append(i)
+                jj.append(j)
+    return np.asarray(ii, np.int32), np.asarray(jj, np.int32)
+
+
+def make_seq_batch(rng: np.random.RandomState, batch: int, N: int,
+                   H: int, W: int, fx: float = 80.0):
+    """`batch` synthetic N-frame sequences with GT w2c poses + 1/8 disps."""
+    h, w = H // 8, W // 8
+    imgs_b, disps_b, poses_b, intr_b = [], [], [], []
+    for _ in range(batch):
+        fx_s = float(fx * (0.7 + 1.8 * rng.rand()))
+        cfg = {
+            "dataset": "synthetic",
+            "cam": {"H": H, "W": W, "fx": fx_s, "fy": fx_s,
+                    "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
+                    "H_out": H, "W_out": W, "H_edge": 0, "W_edge": 0},
+            "synthetic": {"n_frames": N, "seed": int(rng.randint(1 << 30)),
+                          "motion_scale": float(0.5 + 9.5 * rng.rand())},
+        }
+        ds = Synthetic(cfg)
+        imgs, disps, poses = [], [], []
+        off = 3
+        for k in range(N):
+            _, im, d, c2w = ds[k]
+            imgs.append(im)
+            d8 = d[off::8, off::8][:h, :w]
+            disps.append(np.where(d8 > 1e-6, 1.0 / np.maximum(d8, 1e-6),
+                                  0.0))
+            poses.append(np.asarray(
+                lie.from_matrix(jnp.asarray(np.linalg.inv(c2w)))))
+        imgs_b.append(np.stack(imgs))
+        disps_b.append(np.stack(disps).astype(np.float32))
+        poses_b.append(np.stack(poses).astype(np.float32))
+        intr_b.append([fx_s / 8, fx_s / 8, (W / 2 - 0.5) / 8,
+                       (H / 2 - 0.5) / 8])
+    return (jnp.asarray(np.stack(imgs_b)), jnp.asarray(np.stack(disps_b)),
+            jnp.asarray(np.stack(poses_b)),
+            jnp.asarray(np.asarray(intr_b, np.float32)))
+
+
+def make_dba_train_step(tx, N: int = 7, iters: int = 8, gamma: float = 0.9,
+                        w_pose: float = 10.0, w_disp: float = 0.05,
+                        w_flow: float = 0.05):
+    """Jitted train step unrolling GRU-update + 2-iteration DBA rounds.
+
+    Protocol (DROID-SLAM training): poses start at identity (gauge fixed
+    by freezing pose 0 — t0=1 in the plan), disparities start at 1; each
+    round runs the learned update then the differentiable solver
+    (ops/ba.py dba — plain JAX, so pose/depth gradients flow back into
+    the delta/weight/eta heads). Supervision after every round:
+    geodesic pose error, disparity L1 (pins the monocular scale), and
+    flow-to-GT L1 on the round's target."""
+    from ..ops.ba import make_edge_plan, dba
+
+    model = DroidNet()
+    ii_np, jj_np = seq_edges(N)
+    plan = make_edge_plan(ii_np, jj_np, t0=1, t1=N)
+    ii = jnp.asarray(ii_np)
+    jj = jnp.asarray(jj_np)
+    uniq, inv = np.unique(ii_np, return_inverse=True)
+    ix = jnp.asarray(inv.astype(np.int32))
+    Mk = len(uniq)   # == N for a neighborhood graph
+
+    def scene_loss(params, imgs, disps_gt, poses_gt, intr8):
+        h, w = disps_gt.shape[-2:]
+        coords0 = pops.coords_grid(h, w)
+        x = normalize_images(imgs)
+        fmaps = model.apply({"params": params}, x, method=DroidNet.features)
+        cn, ci = model.apply({"params": params}, x,
+                             method=DroidNet.context)
+        pyr = corr_ops.build_fmap_pyramid(fmaps.astype(jnp.float32), 4)
+
+        intr_t = jnp.broadcast_to(intr8, (N, 4))
+        flow_gt, valid_gt = pops.projective_transform(
+            poses_gt[None], disps_gt[None], intr_t[None], ii, jj)
+        flow_gt, valid_gt = flow_gt[0], valid_gt[0][..., 0]
+
+        poses = jnp.broadcast_to(poses_gt[0], (N, 7))   # gauge: all at GT0
+        disps = jnp.ones((N, h, w))
+        net = cn[ii]
+        inp = ci[ii]
+        target = jnp.broadcast_to(coords0, (len(ii_np), h, w, 2))
+        zeros_sens = jnp.zeros_like(disps)
+
+        def round_body(carry):
+            poses, disps, net, target = carry
+            coords1, _ = pops.projective_transform(
+                poses[None], disps[None], intr_t[None], ii, jj)
+            coords1 = coords1[0]
+            corr = corr_ops.alt_corr(pyr, ii, jj, coords1)
+            motn = jnp.clip(jnp.concatenate(
+                [coords1 - coords0[None], target - coords1], -1), -64, 64)
+            net, delta, weight = model.apply(
+                {"params": params}, net, inp, corr, motn,
+                method=DroidNet.update_step)
+            target = coords1 + delta.astype(jnp.float32)
+            eta_agg, _ = model.apply({"params": params}, net, ix, Mk,
+                                     method=DroidNet.update_agg)
+            # per-depth-frame damping rows follow plan.kx (= arange(N) for
+            # a neighborhood graph; padded rows repeat kx[-1], giving them
+            # a real positive damping exactly like the production path)
+            eta = 0.2 * eta_agg[plan.kx] + 1e-7
+            poses, disps = dba(poses, disps, intr8, target,
+                               weight.astype(jnp.float32), eta, zeros_sens,
+                               plan, iters=2)
+            return poses, disps, net, target
+
+        total = 0.0
+        carry = (poses, disps, net, target)
+        for k in range(iters):
+            # rematerialize each round: the unrolled graph of `iters`
+            # GRU+Schur rounds would otherwise hold every intermediate
+            carry = jax.checkpoint(round_body)(carry)
+            poses, disps, net, target = carry
+            # geodesic pose error on the optimized frames
+            derr = lie.log(lie.mul(poses[1:], lie.inv(poses_gt[1:])))
+            pose_err = jnp.abs(derr).mean()
+            disp_err = jnp.abs(disps - disps_gt).mean()
+            flow_err = (jnp.abs(target - flow_gt)
+                        * valid_gt[..., None]).mean()
+            g = gamma ** (iters - k - 1)
+            total = total + g * (w_pose * pose_err + w_disp * disp_err
+                                 + w_flow * flow_err)
+        ate = jnp.linalg.norm(
+            lie.to_matrix(lie.inv(poses))[:, :3, 3]
+            - lie.to_matrix(lie.inv(poses_gt))[:, :3, 3], axis=-1).mean()
+        return total, ate
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, imgs, disps_gt, poses_gt, intr8):
+        def loss_fn(params):
+            losses, ates = jax.vmap(
+                scene_loss, in_axes=(None, 0, 0, 0, 0))(
+                    params, imgs, disps_gt, poses_gt, intr8)
+            return losses.mean(), ates.mean()
+
+        (loss, ate), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, dict(loss=loss, ate=ate, gnorm=gnorm)
+
+    return train_step
+
+
+def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
+              seed=1, init_ckpt="pretrained/droid_selftrained.msgpack",
+              ckpt_path="pretrained/droid_selftrained.msgpack",
+              log_every=20, params=None):
+    """Fine-tune the update operator through the BA layer.
+
+    Starts from the flow-pretrained checkpoint (stage 1) when present —
+    cold-starting BA-unrolled training with random heads makes the
+    solver chase noise."""
+    import os
+    from flax import serialization
+    from ..models.weights import init_params
+
+    rng = np.random.RandomState(seed)
+    if params is None:
+        if init_ckpt and os.path.exists(init_ckpt):
+            params = load_selftrained(init_ckpt)
+            print(f"init from {init_ckpt}")
+        else:
+            params = init_params(jax.random.PRNGKey(seed), H=H, W=W)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(optax.cosine_decay_schedule(lr, steps,
+                                                             0.05)))
+    opt_state = tx.init(params)
+    step_fn = make_dba_train_step(tx, N=N, iters=iters)
+    history = []
+    for step in range(steps):
+        imgs, disps_gt, poses_gt, intr8 = make_seq_batch(
+            rng, batch, N, H, W)
+        params, opt_state, m = step_fn(params, opt_state, imgs, disps_gt,
+                                       poses_gt, intr8)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"step {step}: loss {float(m['loss']):.4f} "
+                  f"ate {float(m['ate']):.4f} "
+                  f"gnorm {float(m['gnorm']):.2f}", flush=True)
+            history.append(float(m["ate"]))
+    if ckpt_path:
+        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+        with open(ckpt_path, "wb") as f:
+            f.write(serialization.to_bytes(params))
+        print(f"saved {ckpt_path}")
+    return params, history

@@ -25,6 +25,38 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     assert all(np.allclose(x, y) for x, y in zip(a, b))
 
 
+def test_dba_trainer_step_runs():
+    """Stage-2 trainer (through the differentiable BA layer): one step
+    produces a finite loss/ate and updates the solver-facing heads
+    (weight, eta) — gradients must flow back THROUGH dba."""
+    import optax
+    from splatslam_tpu.train.droid_trainer import (make_dba_train_step,
+                                                   make_seq_batch)
+    from splatslam_tpu.models.weights import init_params
+
+    N, H, W = 5, 64, 96
+    params = init_params(jax.random.PRNGKey(0), H=H, W=W)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    step_fn = make_dba_train_step(tx, N=N, iters=2)
+    rng = np.random.RandomState(0)
+    imgs, disps_gt, poses_gt, intr8 = make_seq_batch(rng, 1, N, H, W)
+    w_before = np.asarray(
+        params["update"]["weight_2"]["kernel"]).copy()
+    eta_before = np.asarray(
+        params["update"]["agg"]["eta_0"]["kernel"]).copy()
+    params, opt_state, m = step_fn(params, opt_state, imgs, disps_gt,
+                                   poses_gt, intr8)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["ate"]))
+    assert float(m["gnorm"]) > 0
+    # solver-facing heads actually moved (BA gradients reached them)
+    assert np.abs(np.asarray(
+        params["update"]["weight_2"]["kernel"]) - w_before).max() > 0
+    assert np.abs(np.asarray(
+        params["update"]["agg"]["eta_0"]["kernel"]) - eta_before).max() > 0
+
+
 def test_dpt_structure():
     from splatslam_tpu.models.dpt import DPTDepthModel
     m = DPTDepthModel()
