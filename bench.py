@@ -96,6 +96,31 @@ def main():
                       "setup_s": round(time.time() - t_setup, 2)}),
           file=sys.stderr, flush=True)
 
+    # Record link/chip conditions: the tunneled TPU is SHARED — run-to-run
+    # FPS varies with link RTT and chip contention, so every result
+    # carries the probe values it was measured under.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros(8)
+    np.asarray(x + 1)
+    t0 = time.time()
+    for _ in range(8):
+        np.asarray(jnp.sum(x))
+    rtt_ms = (time.time() - t0) / 8 * 1e3
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    np.asarray(mm(a)[:1, :1])
+    t0 = time.time()
+    for _ in range(10):
+        out = mm(a)
+    np.asarray(out[:1, :1])
+    tflops = 2 * 4096 ** 3 / ((time.time() - t0) / 10) / 1e12
+    state["probe"] = {"link_rtt_ms": round(rtt_ms, 1),
+                      "matmul_tflops": round(tflops, 1)}
+    print(json.dumps({"event": "probe", **state["probe"]}),
+          file=sys.stderr, flush=True)
+
     state["n_frames"] = n_frames
     state["warm_frames"] = min(warm, n_frames)
     state["t0"] = time.time()
@@ -124,6 +149,8 @@ def main():
         "wall_s": round(wall, 2),
         "phases": slam.timers.as_dict(),
     })
+    if "probe" in state:
+        out["probe"] = state["probe"]
     print(json.dumps(out), flush=True)
 
 

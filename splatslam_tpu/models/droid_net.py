@@ -122,14 +122,21 @@ class GraphAgg(nn.Module):
         """net (N,H,W,128); ix (N,) edge→keyframe slot; num_kf static."""
         net = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
                               name="conv1")(net))
-        # scatter_mean over edges sharing a source keyframe (counts in
-        # fp32: bf16 cannot represent integers above 256 exactly)
-        s = jax.ops.segment_sum(net, ix, num_segments=num_kf)
-        cnt = jax.ops.segment_sum(
-            jnp.ones((net.shape[0],), jnp.float32), ix,
-            num_segments=num_kf)
-        net = s / jnp.clip(cnt, 1.0, None).astype(
-            net.dtype)[:, None, None, None]
+        # scatter_mean over edges sharing a source keyframe, as a one-hot
+        # MXU contraction: jax.ops.segment_sum lowers to an XLA scatter
+        # that costs ~260 ms at (N,30,40,128) on TPU (the multi-million-
+        # index scatter cliff, docs/TPU_PERF_NOTES.md) — the (M,N) one-hot
+        # matmul form is ~100x cheaper and exact (counts in fp32: bf16
+        # cannot represent integers above 256 exactly)
+        N = net.shape[0]
+        onehot = (ix[None, :] == jnp.arange(num_kf)[:, None]).astype(
+            jnp.float32)                                   # (M, N)
+        s = jnp.einsum("mn,nhwc->mhwc", onehot,
+                       net.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        cnt = onehot.sum(-1)                               # (M,)
+        net = (s / jnp.clip(cnt, 1.0, None)[:, None, None, None]).astype(
+            net.dtype)
         net = nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
                               name="conv2")(net))
         eta = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="eta_0")(net)

@@ -137,7 +137,7 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
 
 @partial(jax.jit, static_argnames=("num_kf", "rounds", "opt_types",
                                    "use_net", "mv_visible_num",
-                                   "use_mono_thres"))
+                                   "use_mono_thres", "do_upsample"))
 def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   mono_disps, depth_scale, depth_shift, valid_small,
                   gt_poses, gt_disps, net, target_act, weight_act,
@@ -145,7 +145,7 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   in_valid, ix, uniq_act, plan, damping_maps, mv_thresh,
                   EP, mono_thres=0.0, *, num_kf: int, rounds: int,
                   opt_types: tuple, use_net: bool, mv_visible_num: int,
-                  use_mono_thres: bool = False):
+                  use_mono_thres: bool = False, do_upsample: bool = True):
     """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
 
     The reference runs each round as many separate device launches
@@ -291,7 +291,12 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                             depth_shift, valid_small, plan,
                             1e-4, 0.1, 0.01)
 
-        # --- convex upsampling of the touched disparities -----------------
+    # --- convex upsampling of the touched disparities ---------------------
+    # ONCE after the rounds, not per round: disps_up is only consumed
+    # outside tracking (mapper / eval), so intermediate-round upsamples
+    # are dead writes (last write wins). The caller sets do_upsample only
+    # on the final cycle of a chunked rounds sequence.
+    if do_upsample:
         uniq_safe = jnp.clip(uniq_act, 0, disps.shape[0] - 1)
         if use_net:
             up = upsample_disp(disps[uniq_safe],
@@ -647,7 +652,7 @@ class FactorGraph:
         self.age += 1
 
     def update_rounds(self, opt_types, t0=None, t1=None, use_inactive=False,
-                      EP=1e-7):
+                      EP=1e-7, upsample=True):
         """Run len(opt_types) update rounds in ONE device dispatch.
 
         mono_thres bad-mono edge filtering runs ON DEVICE inside
@@ -666,8 +671,10 @@ class FactorGraph:
         if len(opt_types) > cycle:
             for c0 in range(0, len(opt_types), cycle):
                 chunk = opt_types[c0:c0 + cycle]
+                last = c0 + cycle >= len(opt_types)
                 self.update_rounds(chunk, t0=t0, t1=t1,
-                                   use_inactive=use_inactive, EP=EP)
+                                   use_inactive=use_inactive, EP=EP,
+                                   upsample=upsample and last)
             return
 
         ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
@@ -710,18 +717,18 @@ class FactorGraph:
                          ii_in.max() if n_inac else 0,
                          jj_in.max() if n_inac else 0)) + 1
         from ..ops import ba as ba_ops
-        # Shape-bucket floors: without them the (Np, M, P, D) tuple shifts
-        # as the graph grows and almost every mapped keyframe compiled a
-        # fresh ~30 s XLA variant (measured on the TPU tunnel). Flooring
-        # pose/depth at the ring-buffer size makes them constant (the
-        # extra rows are damped no-ops); edges/groups use coarse
-        # geometric bases. FLOP cost of the padding is noise on TPU.
-        buf = self.video.buffer
-        pd_base = min(buf, 128)
+        # Shape buckets: without them the (Np, M, P, D) tuple shifts as
+        # the graph grows and almost every mapped keyframe compiled a
+        # fresh ~30 s XLA variant (measured on the TPU tunnel). GEOMETRIC
+        # buckets (base·2^k) bound the variants at log2(buffer/16) ≈ 3
+        # while keeping the depth/pose system sized to the live frame
+        # count — the earlier flat buffer-sized floor made every smoke
+        # DBA a 64-frame solve when ~12 frames were active (the dominant
+        # fused-rounds cost, measured ~4x the 16-frame solve).
         plan = ba_ops.make_edge_plan(ii_all, jj_all, int(t0), int(t1),
                                      valid=valid_all,
-                                     edge_bucket=64, depth_bucket=pd_base,
-                                     group_bucket=16, pose_bucket=pd_base)
+                                     edge_bucket=64, depth_bucket=16,
+                                     group_bucket=16, pose_bucket=16)
 
         s = self.video.state
         mv_cfg = self.video.cfg["tracking"]["multiview_filter"]
@@ -742,7 +749,8 @@ class FactorGraph:
                 num_kf=Mk, rounds=len(opt_types),
                 opt_types=tuple(opt_types), use_net=not self.oracle,
                 mv_visible_num=mv_cfg["visible_num"],
-                use_mono_thres=bool(self.video.mono_thres))
+                use_mono_thres=bool(self.video.mono_thres),
+                do_upsample=upsample and self.upsample_flag)
 
         s.poses = poses
         s.disps = disps

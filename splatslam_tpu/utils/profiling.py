@@ -11,23 +11,44 @@ import contextlib
 import time
 
 
+def _device_barrier():
+    """Block until every dispatched computation has finished.
+
+    Device executions are serialized in dispatch order, so fetching a
+    fresh trivial computation drains the queue. Costs one link RTT."""
+    import jax
+    import numpy as _np
+    _np.asarray(jax.numpy.zeros(()) + 1.0)
+
+
 class PhaseTimers:
     """Accumulating named wall-clock timers.
 
     with timers("frontend"): ...      # accumulate
     timers.report() -> str table sorted by total time.
+
+    SPLATSLAM_SYNC_TIMERS=1 inserts a device barrier at phase entry AND
+    exit so each phase's time is its OWN device work — async dispatch
+    otherwise attributes queued work to whichever later phase fetches
+    first. Adds an RTT per boundary; diagnosis only, never production.
     """
 
     def __init__(self):
         self.total: dict[str, float] = {}
         self.count: dict[str, int] = {}
+        import os
+        self.sync = bool(os.environ.get("SPLATSLAM_SYNC_TIMERS"))
 
     @contextlib.contextmanager
     def __call__(self, name: str):
+        if self.sync:
+            _device_barrier()
         t0 = time.perf_counter()
         try:
             yield
         finally:
+            if self.sync:
+                _device_barrier()
             dt = time.perf_counter() - t0
             self.total[name] = self.total.get(name, 0.0) + dt
             self.count[name] = self.count.get(name, 0) + 1
