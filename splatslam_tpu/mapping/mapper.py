@@ -181,14 +181,16 @@ def map_step(st: G.GaussianState, exp_state, tau_state, w2cs, images,
 
 @partial(jax.jit, static_argnames=("H", "W", "K", "use_ssim", "lr_sched",
                                    "opt_poses", "sh_degree", "rebin_every",
-                                   "rebin_margin", "max_span"))
+                                   "rebin_margin", "max_span",
+                                   "per_step_cams"))
 def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
                depths, exposure, use_exposure, cam_valid, opt_pose_mask,
                intrinsics, lr_scalars, cam_lrs, step0, n_iters, iso_weight,
                *, H: int, W: int, K: int, use_ssim: bool,
                alpha: float, lr_sched=None, opt_poses: bool = False,
                sh_degree: int = 0, rebin_every: int = 8,
-               rebin_margin: float = 4.0, max_span: int = 4):
+               rebin_margin: float = 4.0, max_span: int = 4,
+               per_step_cams: bool = False):
     """`n_iters` mapping iterations in ONE device program.
 
     The per-dispatch host↔device round trip dominates wall-clock when the
@@ -206,6 +208,14 @@ def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
       * the per-Gaussian n_touched accumulation (only consumed at
         densify/visibility gates) is skipped in the loop; the LAST
         iteration runs with a fresh binning and want_touched=True.
+
+    per_step_cams: iteration i trains on camera row i ALONE (Bc=1) —
+    the reference final_refine's one-random-frame-per-optimizer-step
+    schedule (mapper.py:656-708), fused. The batched B·S minibatch
+    variant measured 0.85 dB PSNR below this schedule at matched step
+    counts (tools/refine_sampling_ab.py), so faithful sampling is the
+    production refine path. Requires n_iters == w2cs.shape[0]; each step
+    re-bins its own camera (margin 0 — the binning is exact per step).
     """
     lrs_fixed = lr_scalars
     Bc, C = w2cs.shape[0], st.xyz.shape[0]
@@ -220,12 +230,51 @@ def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
             xyz_lr = lrs_fixed["xyz"]
         return dict(lrs_fixed, xyz=xyz_lr)
 
-    def rebin(st, w2cs):
+    def rebin(st, w2cs, margin=rebin_margin):
+        nb = w2cs.shape[0]
         return rz.bin_batch(
             st.xyz, jnp.exp(st.scaling), st.rotation,
             jax.nn.sigmoid(st.opacity)[:, 0], st.alive, w2cs,
-            jnp.zeros((Bc, 6)), intrinsics, H=H, W=W, K=K,
-            margin=rebin_margin, max_span=max_span)
+            jnp.zeros((nb, 6)), intrinsics, H=H, W=W, K=K,
+            margin=margin, max_span=max_span)
+
+    if per_step_cams:
+        # one camera per optimizer step: slice row i, step on it, scatter
+        # the updated per-camera state back into the stack
+        row = lambda x, i: jax.lax.dynamic_slice_in_dim(x, i, 1, axis=0)
+        put = lambda x, r, i: jax.lax.dynamic_update_slice_in_dim(
+            x, r, i, axis=0)
+
+        def step_one(i, carry, want_touched):
+            (st, (em, ev), (tm, tv), w2cs, exposure) = carry
+            w2c_i = row(w2cs, i)
+            tids, tcnt = rebin(st, w2c_i, margin=0.0)
+            step = step0 + i
+            (st, (em_i, ev_i), (tm_i, tv_i), w2c_o, exp_o, radii,
+             n_touched, loss) = map_step(
+                st, (row(em, i), row(ev, i)), (row(tm, i), row(tv, i)),
+                w2c_i, row(images, i), row(depths, i), row(exposure, i),
+                row(use_exposure, i), row(cam_valid, i),
+                row(opt_pose_mask, i), intrinsics, lrs_at(step), cam_lrs,
+                step + 1, iso_weight, tids, tcnt,
+                H=H, W=W, K=K, use_ssim=use_ssim, alpha=alpha,
+                opt_poses=opt_poses, sh_degree=sh_degree,
+                want_touched=want_touched, max_span=max_span)
+            carry = (st, (put(em, em_i, i), put(ev, ev_i, i)),
+                     (put(tm, tm_i, i), put(tv, tv_i, i)),
+                     put(w2cs, w2c_o, i), put(exposure, exp_o, i))
+            return carry, (radii, n_touched, loss)
+
+        carry = (st, exp_state, tau_state, jnp.asarray(w2cs),
+                 jnp.asarray(exposure))
+        carry = jax.lax.fori_loop(
+            0, n_iters - 1,
+            lambda i, c: step_one(i, c, want_touched=False)[0], carry)
+        carry, (radii, n_touched, loss) = step_one(
+            n_iters - 1, carry, want_touched=True)
+        (st, exp_state, tau_state, w2cs, exposure) = carry
+        return (st, exp_state, tau_state, w2cs, exposure, radii,
+                n_touched, loss)
 
     def body(i, carry):
         (st, exp_state, tau_state, w2cs, exposure, tids, tcnt) = carry
@@ -464,15 +513,24 @@ class Mapper:
 
     def add_next_kf(self, video_idx, cam: Camera, depth_map, init=False):
         down = self.pcd_downsample_init if init else self.pcd_downsample
-        point_size = self.point_size
-        if self.adaptive_pointsize:
-            point_size = min(0.05, point_size * float(np.median(depth_map)))
         self.rng, sub = jax.random.split(self.rng)
         max_new = _round_up(int(2.0 * self.H * self.W / down), 1024)
-        new = G.anchor_points(sub, jnp.asarray(cam.image),
-                              jnp.asarray(depth_map), cam.w2c,
-                              self.intrinsics, down, point_size, max_new)
-        need = G.num_alive(self.st) + int(new["count"])
+        depth_dev = jnp.asarray(depth_map)
+        if self.adaptive_pointsize:
+            # median on DEVICE: a host np.median(depth) fetch here drained
+            # the async queue once per keyframe
+            point_size = jnp.minimum(
+                0.05, self.point_size * jnp.median(depth_dev))
+        else:
+            point_size = self.point_size
+        new = G.anchor_points(sub, jnp.asarray(cam.image), depth_dev,
+                              cam.w2c, self.intrinsics, down, point_size,
+                              max_new)
+        # ONE packed pull for the two capacity scalars (count, num_alive)
+        packed = np.asarray(jnp.stack(
+            [new["count"].astype(jnp.float32),
+             jnp.sum(self.st.alive).astype(jnp.float32)]))
+        need = int(packed[1]) + int(packed[0])
         while need > 0.9 * self.st.xyz.shape[0]:
             self.st = G.grow_capacity(self.st)
         self.st = G.insert_points(self.st, new, video_idx)
@@ -540,10 +598,13 @@ class Mapper:
 
     def _stack_cams(self, cams):
         n = len(cams)
-        # fixed batch buckets → one compile per bucket; under a mesh the
-        # bucket must also divide evenly across the "cam" axis
-        B = _round_up(n, 4 if self.mesh is None
-                      else max(4, self.mesh_size))
+        # power-of-two batch buckets → log-many compiles; a flat
+        # round-up-to-4 made the 150-iteration init map render 4 cameras
+        # for its single real one. Under a mesh the bucket must divide
+        # evenly across the "cam" axis.
+        from ..ops.ba import _geom_bucket
+        B = _geom_bucket(n, 1) if self.mesh is None \
+            else _round_up(n, max(4, self.mesh_size))
         pad = B - n
         w2cs = jnp.stack([c.w2c for c in cams] + [jnp.eye(4)] * pad)
         imgs = jnp.stack([c.image for c in cams]
@@ -563,7 +624,8 @@ class Mapper:
 
     def _run_iters(self, cams, iters, densify_cfg=None, store_expo=True,
                    opt_poses=False, n_window=0, iso_weight=10.0,
-                   persist_exp_state=False, refine=False):
+                   persist_exp_state=False, refine=False,
+                   per_step=False):
         """Shared optimization loop: map/initialize_map/final_refine core.
 
         Iterations run fused on device (map_step_n); the loop only returns
@@ -582,8 +644,14 @@ class Mapper:
         """
         if not cams:
             return None
+        if per_step and (self.mesh is not None or densify_cfg is not None):
+            per_step = False     # per-step rows can't shard a "cam" mesh
         w2cs, imgs, deps, expo, use_exp, valid = self._stack_cams(cams)
         B = w2cs.shape[0]
+        if per_step and (B != len(cams) or iters != B):
+            raise ValueError(
+                f"per_step needs a bucket-sized cam list == iters "
+                f"(got {len(cams)} cams, bucket {B}, iters {iters})")
         if persist_exp_state:
             mv = [self.exp_mv.get(c.uid, np.zeros((2, 2))) for c in cams]
             mv += [np.zeros((2, 2))] * (B - len(cams))
@@ -660,7 +728,7 @@ class Mapper:
                 H=self.H, W=self.W, K=self.K, use_ssim=self.use_ssim,
                 alpha=self.alpha, lr_sched=lr_sched, opt_poses=opt_poses,
                 sh_degree=self.sh_degree, rebin_every=self.rebin_every,
-                max_span=self.max_span)
+                max_span=self.max_span, per_step_cams=per_step)
             self.iteration_count += seg_b
             done += seg_b
             last = (radii, n_touched, loss)
@@ -782,19 +850,34 @@ class Mapper:
 
         vps = list(self.viewpoints.values())
         rng = np.random.RandomState(0)
-        # The reference runs `iters` single-random-frame optimizer steps
-        # (mapper.py:656-708). Here each device dispatch runs S fused
-        # steps over a batch of B random frames — B·S reference-equivalent
-        # steps per dispatch — trading exact single-frame sampling for a
-        # ~B·S× cut in dispatch count.
-        B = min(4, len(vps))
-        S = 8
+        # The reference runs `iters` single-random-frame OPTIMIZER steps
+        # (mapper.py:656-708). Production path: S of those steps fused
+        # per dispatch, step i training on its OWN random frame
+        # (map_step_n per_step_cams) — the reference's exact sampling
+        # schedule at 1/S the dispatch count. The B-frame minibatch
+        # variant (refine_batch > 1, per-dispatch frames shared across S
+        # steps) measured 0.85 dB PSNR BELOW this schedule at matched
+        # Adam step counts (tools/refine_sampling_ab.py), so it is opt-in
+        # only (e.g. under a camera mesh, where per-step rows can't
+        # shard).
+        B = min(int(self.cfg["mapping"].get("refine_batch", 1)), len(vps))
+        S = int(self.cfg["mapping"].get("refine_fused_steps", 8))
+        per_step = (B == 1 and self.mesh is None)
+        if per_step:
+            from ..ops.ba import _geom_bucket
+            S = _geom_bucket(S, 1)   # per-step rows must fill the bucket
         done = 0
         while done < iters:
-            pick = rng.randint(0, len(vps), size=B)
-            self._run_iters([vps[i] for i in pick], S, iso_weight=0.0,
-                            persist_exp_state=True)
-            done += B * S
+            if per_step:
+                # S independent uniform picks, one per optimizer step
+                pick = rng.randint(0, len(vps), size=S)
+                self._run_iters([vps[i] for i in pick], S, iso_weight=0.0,
+                                persist_exp_state=True, per_step=True)
+            else:
+                pick = rng.randint(0, len(vps), size=B)
+                self._run_iters([vps[i] for i in pick], S, iso_weight=0.0,
+                                persist_exp_state=True)
+            done += S
 
     # -- keyframe management (mapper.py:744-831) -----------------------------
 

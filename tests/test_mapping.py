@@ -336,3 +336,65 @@ def test_ply_roundtrip(tmp_path):
     a = np.sort(np.asarray(st.xyz[np.asarray(st.alive)]), axis=0)
     b = np.sort(np.asarray(st2.xyz[np.asarray(st2.alive)]), axis=0)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_map_step_n_per_step_cams_matches_hand_loop():
+    """per_step_cams=True (the fused faithful final_refine schedule —
+    one random frame per optimizer step, reference mapper.py:656-708)
+    must match a hand-driven loop of single-camera map_step calls."""
+    from splatslam_tpu.mapping.mapper import map_step_n
+
+    rng = jax.random.PRNGKey(7)
+    st0 = G.make_state(128)
+    n = 64
+    pts = jnp.concatenate([jax.random.normal(rng, (n, 2)) * 0.8,
+                           2.0 + jax.random.uniform(rng, (n, 1))], -1)
+    new = dict(xyz=pts, color=jax.random.uniform(rng, (n, 3)),
+               scales=jnp.log(jnp.full((n, 3), 0.15)),
+               valid=jnp.ones(n, bool), count=jnp.asarray(n))
+    st0 = G.insert_points(st0, new, 0)
+
+    H, W, S = 32, 48, 4
+    intr = jnp.asarray([30.0, 30.0, 24.0, 16.0])
+    # S distinct cameras: small x-offsets
+    w2cs = jnp.stack([jnp.eye(4).at[0, 3].set(0.05 * i) for i in range(S)])
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (S, H, W, 3))
+    deps = jnp.full((S, H, W), 2.5)
+    expo = jnp.zeros((S, 2))
+    use_exp = jnp.ones((S,), bool).at[0].set(False)
+    valid = jnp.ones((S,), bool)
+    pose_mask = jnp.zeros((S,), bool)
+    lrs = dict(xyz=1e-3, f_dc=0.0025, f_rest=1e-4, opacity=0.05,
+               scaling=0.001, rotation=0.001)
+    cam_lrs = (jnp.asarray(5e-4), jnp.asarray(1.5e-3))
+    exp_state = (jnp.zeros_like(expo), jnp.zeros_like(expo))
+    tau_state = (jnp.zeros((S, 6)), jnp.zeros((S, 6)))
+
+    (st_f, exp_f, _, _, expo_f, _, _, loss_f) = map_step_n(
+        st0, exp_state, tau_state, w2cs, imgs, deps, expo, use_exp,
+        valid, pose_mask, intr, lrs, cam_lrs, jnp.asarray(0),
+        jnp.asarray(S), jnp.asarray(10.0),
+        H=H, W=W, K=64, use_ssim=False, alpha=0.8, per_step_cams=True)
+
+    # hand loop: step i trains on camera i alone
+    st = st0
+    expo_h = expo
+    em, ev = exp_state
+    for i in range(S):
+        sl = slice(i, i + 1)
+        (st, (em_i, ev_i), _, _, expo_i, _, _, loss_h) = map_step(
+            st, (em[sl], ev[sl]), (jnp.zeros((1, 6)), jnp.zeros((1, 6))),
+            w2cs[sl], imgs[sl], deps[sl], expo_h[sl], use_exp[sl],
+            valid[sl], pose_mask[sl], intr, lrs, cam_lrs,
+            jnp.asarray(i + 1), jnp.asarray(10.0),
+            H=H, W=W, K=64, use_ssim=False, alpha=0.8,
+            want_touched=(i == S - 1))
+        em = em.at[sl].set(em_i)
+        ev = ev.at[sl].set(ev_i)
+        expo_h = expo_h.at[sl].set(expo_i)
+
+    np.testing.assert_allclose(np.asarray(st_f.xyz), np.asarray(st.xyz),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(expo_f), np.asarray(expo_h),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(loss_f), float(loss_h), rtol=1e-4)
