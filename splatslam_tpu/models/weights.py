@@ -120,11 +120,14 @@ def load_droid_params(path: str):
         import torch
         sd = torch.load(path, map_location="cpu")
         return torch_state_to_params(sd)
-    # fall back to a self-trained checkpoint if one exists
-    alt = "pretrained/droid_selftrained.msgpack"
-    if os.path.exists(alt):
-        from flax import serialization
-        template = init_params()
-        with open(alt, "rb") as f:
-            return serialization.from_bytes(template, f.read())
+    # fall back to a self-trained checkpoint: prefer the stage-2 net
+    # (trained THROUGH the differentiable BA layer, train_dba) over the
+    # flow-only stage-1 net
+    for alt in ("pretrained/droid_dba.msgpack",
+                "pretrained/droid_selftrained.msgpack"):
+        if os.path.exists(alt):
+            from flax import serialization
+            template = init_params()
+            with open(alt, "rb") as f:
+                return serialization.from_bytes(template, f.read())
     return init_params()

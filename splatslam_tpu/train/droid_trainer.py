@@ -374,6 +374,15 @@ def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
     opt_state = tx.init(params)
     step_fn = make_dba_train_step(tx, N=N, iters=iters)
     history = []
+
+    def save(p):
+        if not ckpt_path:
+            return
+        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+        with open(ckpt_path, "wb") as f:
+            f.write(serialization.to_bytes(p))
+        print(f"saved {ckpt_path}", flush=True)
+
     for step in range(steps):
         imgs, disps_gt, poses_gt, intr8 = make_seq_batch(
             rng, batch, N, H, W)
@@ -384,9 +393,10 @@ def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
                   f"ate {float(m['ate']):.4f} "
                   f"gnorm {float(m['gnorm']):.2f}", flush=True)
             history.append(float(m["ate"]))
-    if ckpt_path:
-        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
-        with open(ckpt_path, "wb") as f:
-            f.write(serialization.to_bytes(params))
-        print(f"saved {ckpt_path}")
+        if step and step % 200 == 0:
+            # periodic checkpoint: a killed long run keeps its progress.
+            # donate_argnums consumed the old params buffer, so serialize
+            # the live one before the next step overwrites it
+            save(jax.device_get(params))
+    save(params)
     return params, history
