@@ -81,10 +81,10 @@ def _pix_coords(tt, ntx):
     return px, py
 
 
-def _chunk_eval(tl_ref, c0, px, py, count):
+def _chunk_eval(tl_ref, c0, px, py, count, j=0):
     """Evaluate the static chunk starting at c0: alpha (CH,P) with CUDA
-    gating. tl_ref block is (1, 16, K); c0 is a Python int."""
-    f = tl_ref[0, :, c0:c0 + CH]            # (16, CH) static slice
+    gating. tl_ref block is (TB, 16, K); c0/j are Python ints."""
+    f = tl_ref[j, :, c0:c0 + CH]            # (16, CH) static slice
     # ONE lane->sublane relayout for all 11 fields (the per-field
     # row-to-column reshape costed 11 separate relayout ops)
     fT = f.T                                 # (CH, 16)
@@ -111,86 +111,103 @@ def _lane_mask(gid):
 
 
 def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
-                ntx, n_cam_tiles, K, want_touched):
+                ntx, n_cam_tiles, K, want_touched, TB):
     b = pl.program_id(0)
-    tt = pl.program_id(1)
-    t = b * n_cam_tiles + tt
-    count = jnp.minimum(counts_ref[t], K)
-    px, py = _pix_coords(tt, ntx)
+    tb = pl.program_id(1)
 
-    @pl.when(tt == 0)
+    @pl.when(tb == 0)
     def _():
         ntouch_ref[...] = jnp.zeros_like(ntouch_ref)
 
-    # per-tile state scratch: rows 0-2 color, 3 depth, 4 trans
-    st_ref[0:4, :] = jnp.zeros((4, P), jnp.float32)
-    st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
+    # TB tiles per grid step: amortizes grid-iteration + block-DMA fixed
+    # costs (the per-tile work is a handful of µs — at B·T ≈ 10⁴ tiles
+    # the fixed costs were a measurable slice of the kernel)
+    for j in range(TB):
+        tt = tb * TB + j
+        t = b * n_cam_tiles + tt
+        count = jnp.minimum(counts_ref[t], K)
+        px, py = _pix_coords(tt, ntx)
 
-    for c0 in range(0, K, CH):
-        @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
-        def _(c0=c0):
-            trans = st_ref[4:5, :]
-            alpha, _, _, _, _, _, gid, f = _chunk_eval(
-                tl_ref, c0, px, py, count)
-            _, _, _, _, _, cr, cg, cb_, _, dp = f
-            cum = _prefix_prod(1.0 - alpha)                 # (CH,P)
-            t_before = trans * jnp.concatenate(
-                [jnp.ones_like(cum[:1]), cum[:-1]], 0)
-            w = jnp.where(t_before < T_MIN, 0.0, alpha * t_before)
-            st_ref[0:3, :] = st_ref[0:3, :] + jnp.concatenate(
-                [jnp.sum(w * cr, 0, keepdims=True),
-                 jnp.sum(w * cg, 0, keepdims=True),
-                 jnp.sum(w * cb_, 0, keepdims=True)], 0)
-            st_ref[3:4, :] = st_ref[3:4, :] + jnp.sum(
-                w * dp, 0, keepdims=True)
-            st_ref[4:5, :] = trans * cum[-1:]
+        # per-tile state scratch: rows 0-2 color, 3 depth, 4 trans
+        st_ref[0:4, :] = jnp.zeros((4, P), jnp.float32)
+        st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
 
-            if want_touched:
-                # per-Gaussian pixels-touched accumulation (replaces an
-                # XLA segment_sum): lane-masked full-tile RMW at a dynamic
-                # LEADING index; the sequential grid makes RMW race-free.
-                # Skipped entirely (static) in the hot optimization
-                # iterations — visibility is only consumed at segment
-                # boundaries (densify/reset gates).
-                touched = jnp.sum((w > 0), axis=1,
-                                  keepdims=True).astype(jnp.float32)
-                lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
-                gid_i32 = gid.astype(jnp.int32)
-                # unconditional straight-line RMW (see the bwd kernel's
-                # note): padding entries have touched == 0 and a zeroed
-                # mask, so they add exact zeros
-                masks = ((lanes == jnp.mod(gid_i32, LANES))
-                         & (gid_i32 >= 0)).astype(jnp.float32)
-                for i in range(CH):
-                    blk = jnp.maximum(gid[i, 0].astype(jnp.int32),
-                                      0) // LANES
-                    upd = touched[i:i + 1, :] * masks[i:i + 1, :]
-                    ntouch_ref[0, blk, 0:1, :] = \
-                        ntouch_ref[0, blk, 0:1, :] + upd
+        for c0 in range(0, K, CH):
+            @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
+            def _(c0=c0, j=j):
+                trans = st_ref[4:5, :]
+                alpha, _, _, _, _, _, gid, f = _chunk_eval(
+                    tl_ref, c0, px, py, count, j)
+                _, _, _, _, _, cr, cg, cb_, _, dp = f
+                cum = _prefix_prod(1.0 - alpha)                 # (CH,P)
+                t_before = trans * jnp.concatenate(
+                    [jnp.ones_like(cum[:1]), cum[:-1]], 0)
+                w = jnp.where(t_before < T_MIN, 0.0, alpha * t_before)
+                st_ref[0:3, :] = st_ref[0:3, :] + jnp.concatenate(
+                    [jnp.sum(w * cr, 0, keepdims=True),
+                     jnp.sum(w * cg, 0, keepdims=True),
+                     jnp.sum(w * cb_, 0, keepdims=True)], 0)
+                st_ref[3:4, :] = st_ref[3:4, :] + jnp.sum(
+                    w * dp, 0, keepdims=True)
+                st_ref[4:5, :] = trans * cum[-1:]
 
-    out_ref[0, 0:3, :] = st_ref[0:3, :]
-    out_ref[0, 3:4, :] = st_ref[3:4, :]
-    out_ref[0, 4:5, :] = 1.0 - st_ref[4:5, :]
-    out_ref[0, 5:8, :] = jnp.zeros((3, P), jnp.float32)
+                if want_touched:
+                    # per-Gaussian pixels-touched accumulation (replaces
+                    # an XLA segment_sum): lane-masked full-tile RMW at a
+                    # dynamic LEADING index; the sequential grid makes RMW
+                    # race-free. Skipped entirely (static) in the hot
+                    # optimization iterations — visibility is only
+                    # consumed at segment boundaries (densify/reset
+                    # gates).
+                    touched = jnp.sum((w > 0), axis=1,
+                                      keepdims=True).astype(jnp.float32)
+                    lanes = jax.lax.broadcasted_iota(
+                        jnp.int32, (CH, LANES), 1)
+                    gid_i32 = gid.astype(jnp.int32)
+                    # unconditional straight-line RMW (see the bwd
+                    # kernel's note): padding entries have touched == 0
+                    # and a zeroed mask, so they add exact zeros
+                    masks = ((lanes == jnp.mod(gid_i32, LANES))
+                             & (gid_i32 >= 0)).astype(jnp.float32)
+                    for i in range(CH):
+                        blk = jnp.maximum(gid[i, 0].astype(jnp.int32),
+                                          0) // LANES
+                        upd = touched[i:i + 1, :] * masks[i:i + 1, :]
+                        ntouch_ref[0, blk, 0:1, :] = \
+                            ntouch_ref[0, blk, 0:1, :] + upd
+
+        out_ref[j, 0:3, :] = st_ref[0:3, :]
+        out_ref[j, 3:4, :] = st_ref[3:4, :]
+        out_ref[j, 4:5, :] = 1.0 - st_ref[4:5, :]
+        out_ref[j, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
 def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
-                ntx, n_cam_tiles, K):
+                ntx, n_cam_tiles, K, TB):
     b = pl.program_id(0)
-    tt = pl.program_id(1)
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for j in range(TB):
+        _bwd_tile(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref,
+                  b=b, tt=tb * TB + j, j=j, ntx=ntx,
+                  n_cam_tiles=n_cam_tiles, K=K)
+
+
+def _bwd_tile(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
+              b, tt, j, ntx, n_cam_tiles, K):
     t = b * n_cam_tiles + tt
     count = jnp.minimum(counts_ref[t], K)
     px, py = _pix_coords(tt, ntx)
 
-    @pl.when(tt == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    g_c0 = gp_ref[0, 0:1, :]
-    g_c1 = gp_ref[0, 1:2, :]
-    g_c2 = gp_ref[0, 2:3, :]
-    g_d = gp_ref[0, 3:4, :]
-    g_a = gp_ref[0, 4:5, :]
+    g_c0 = gp_ref[j, 0:1, :]
+    g_c1 = gp_ref[j, 1:2, :]
+    g_c2 = gp_ref[j, 2:3, :]
+    g_d = gp_ref[j, 3:4, :]
+    g_a = gp_ref[j, 4:5, :]
 
     # The classical bwd needs (a) the final transmittance and (b) the
     # total per-pixel Σᵢ wᵢsᵢ. Both fall out of the FORWARD's outputs —
@@ -199,9 +216,9 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
     # (color_out is pre-background here) — so the former "pass 1" full
     # recompute sweep over all chunks is unnecessary (it was ~40% of the
     # backward kernel's time).
-    G = g_a * (1.0 - fo_ref[0, 4:5, :])           # g_A · T_final, (1,P)
-    s_tot = (fo_ref[0, 0:1, :] * g_c0 + fo_ref[0, 1:2, :] * g_c1
-             + fo_ref[0, 2:3, :] * g_c2 + fo_ref[0, 3:4, :] * g_d)
+    G = g_a * (1.0 - fo_ref[j, 4:5, :])           # g_A · T_final, (1,P)
+    s_tot = (fo_ref[j, 0:1, :] * g_c0 + fo_ref[j, 1:2, :] * g_c1
+             + fo_ref[j, 2:3, :] * g_c2 + fo_ref[j, 3:4, :] * g_d)
 
     # single pass: prefix recompute + per-contributor grads + accumulate
     st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
@@ -211,7 +228,7 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
         def _(c0=c0):
             trans = st_ref[4:5, :]
             alpha, alpha_raw, power, live, dx, dy, gid, f = _chunk_eval(
-                tl_ref, c0, px, py, count)
+                tl_ref, c0, px, py, count, j)
             _, _, ca, cb, cc, cr, cg, cb_, op, dp = f
             cum = _prefix_prod(1.0 - alpha)
             t_before = trans * jnp.concatenate(
@@ -261,6 +278,14 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
             st_ref[6:7, :] = st_ref[6:7, :] + incl[-1:]
 
 
+def _tiles_per_block(n_cam_tiles: int) -> int:
+    """Largest TB in {8,4,2,1} dividing the camera tile count."""
+    for tb in (8, 4, 2):
+        if n_cam_tiles % tb == 0:
+            return tb
+    return 1
+
+
 def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
                          interpret=False, want_touched=True):
     """counts (B·T,) int32; tl_T (B·T, 16, K) f32 with per-camera
@@ -271,17 +296,20 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
     accumulation loop is statically skipped)."""
     BT, _, K = tl_T.shape
     NB = n_rows // LANES if want_touched else 1
+    TB = _tiles_per_block(n_cam_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_cam_tiles),
+        grid=(B, n_cam_tiles // TB),
         in_specs=[
-            pl.BlockSpec((1, 16, K),
-                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+            pl.BlockSpec((TB, 16, K),
+                         lambda b, t, *_: (
+                             (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, P),
-                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+            pl.BlockSpec((TB, 8, P),
+                         lambda b, t, *_: (
+                             (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NB, 8, LANES), lambda b, t, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -292,7 +320,7 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
     def kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref):
         _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref,
                     ntx=ntx, n_cam_tiles=n_cam_tiles, K=K,
-                    want_touched=want_touched)
+                    want_touched=want_touched, TB=TB)
 
     out, ntouch = pl.pallas_call(
         kernel,
@@ -320,15 +348,18 @@ def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
     """
     BT, _, K = tl_T.shape
     NB = n_rows // LANES
-    tile_spec = pl.BlockSpec((1, 8, P),
-                             lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+    TB = _tiles_per_block(n_cam_tiles)
+    tile_spec = pl.BlockSpec((TB, 8, P),
+                             lambda b, t, *_: (
+                                 (b * n_cam_tiles) // TB + t, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, n_cam_tiles),
+        grid=(B, n_cam_tiles // TB),
         in_specs=[
-            pl.BlockSpec((1, 16, K),
-                         lambda b, t, *_: (b * n_cam_tiles + t, 0, 0),
+            pl.BlockSpec((TB, 16, K),
+                         lambda b, t, *_: (
+                             (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),
             tile_spec,
             tile_spec,
@@ -341,7 +372,7 @@ def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
 
     def kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref):
         _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref,
-                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K)
+                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K, TB=TB)
 
     acc = pl.pallas_call(
         kernel,

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from splatslam_tpu.ops import rasterizer as rz
 from splatslam_tpu.ops import lie
@@ -214,13 +215,17 @@ def test_composite_custom_vjp_matches_autodiff():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_pallas_composite_matches_xla_interpret():
+@pytest.mark.parametrize("ntx,nty", [(3, 2), (4, 2)])
+def test_pallas_composite_matches_xla_interpret(ntx, nty):
     """Pallas fwd/bwd kernels (interpret mode) vs the XLA compositor on
-    a small camera batch: outputs, n_touched, and packet gradients."""
+    a small camera batch: outputs, n_touched, and packet gradients.
+
+    (3,2) → 6 tiles exercises TB=2 blocking; (4,2) → 8 tiles exercises
+    the full TB=8 multi-tile grid block."""
     from splatslam_tpu.ops import raster_pallas as rp
 
     rng = np.random.RandomState(11)
-    B, ntx, nty, K, N = 2, 3, 2, 16, 128
+    B, K, N = 2, 16, 128
     T = ntx * nty
     ids_np = np.full((B, T, K), -1, np.int32)
     counts_np = np.zeros((B, T), np.int32)
