@@ -55,20 +55,29 @@ MAX_ALPHA = 0.99
 
 
 def _prefix_prod(x):
-    """Inclusive prefix product along axis 0 (unrolled; no cumprod
-    lowering in Pallas TPU)."""
-    rows = [x[0:1]]
-    for i in range(1, x.shape[0]):
-        rows.append(rows[-1] * x[i:i + 1])
-    return jnp.concatenate(rows, 0)
+    """Inclusive prefix product along axis 0 (no cumprod lowering in
+    Pallas TPU). Hillis–Steele log-step scan: log2(CH) full-(CH,P)
+    multiplies instead of CH-1 serial (1,P) row ops — fewer, wider VPU
+    ops and a 4-deep (not 15-deep) dependency chain."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        pad = jnp.ones_like(x[:d])
+        x = x * jnp.concatenate([pad, x[:-d]], 0)
+        d *= 2
+    return x
 
 
 def _prefix_sum(x):
-    """Inclusive prefix sum along axis 0 (unrolled)."""
-    rows = [x[0:1]]
-    for i in range(1, x.shape[0]):
-        rows.append(rows[-1] + x[i:i + 1])
-    return jnp.concatenate(rows, 0)
+    """Inclusive prefix sum along axis 0 (log-step scan, see
+    _prefix_prod)."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        pad = jnp.zeros_like(x[:d])
+        x = x + jnp.concatenate([pad, x[:-d]], 0)
+        d *= 2
+    return x
 
 
 def _pix_coords(tt, ntx):
