@@ -146,12 +146,15 @@ def mean_sq_dist_3nn(points, valid):
 # anchoring: unproject RGBD, random downsample, scale init
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("downsample", "max_new"))
 def anchor_points(rng, image, depth, w2c, intrinsics, downsample: int,
-                  point_size: float, max_new: int):
+                  point_size, max_new: int):
     """New Gaussian candidates from a keyframe (gaussian_model.py:107-219,
     open3d unprojection + random_down_sample replaced by direct math).
 
     Returns dict of padded (max_new, …) arrays + count + valid mask.
+    Jitted (statics: downsample/max_new; point_size traced — it may be a
+    device median) — eagerly this was ~20 dispatches per keyframe.
     """
     H, W = depth.shape
     fx, fy, cx, cy = intrinsics

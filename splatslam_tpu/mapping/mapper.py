@@ -32,6 +32,50 @@ def _round_up(x, m):
     return max(((x + m - 1) // m) * m, m)
 
 
+@jax.jit
+def _stack_jit(xs):
+    """Stack a tuple of same-shape device arrays in one program (eager
+    jnp.stack issues ~8 broadcast/concat dispatches)."""
+    return jnp.stack(xs)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "K", "sh_degree", "max_span"))
+def _eval_render(st, w2cs, intrinsics, *, H, W, K, sh_degree, max_span):
+    """Eval-path batched render as ONE program: activation transforms,
+    SH colors, and rasterize_batch fused (eagerly ~10 dispatches per
+    render call)."""
+    if sh_degree > 0:
+        campos = -jnp.einsum("bji,bj->bi", w2cs[:, :3, :3], w2cs[:, :3, 3])
+        cols = jax.vmap(
+            lambda cp: sh_ops.sh_colors(sh_degree, st.f_dc, st.f_rest,
+                                        st.xyz, cp))(campos)
+    else:
+        cols = G.get_colors_dc(st)
+    B = w2cs.shape[0]
+    return rz.rasterize_batch(
+        st.xyz, G.get_scaling(st), st.rotation, G.get_opacity(st)[:, 0],
+        cols, st.alive, w2cs, jnp.zeros((B, 6)), intrinsics,
+        jnp.zeros(3), H=H, W=W, K=K, max_span=max_span)
+
+
+@jax.jit
+def _refresh_writeback(depth_scale, depth_shift, sc, sh, sel, w2c,
+                       invalid):
+    """refresh_keyframes epilogue as ONE program: masked scale/shift
+    scatter into the tracker rows + the packed per-frame host pull
+    [w2c 16 floats | invalid flag]. Rows that must not write (pad rows,
+    no-mono rows) carry an OOB sel; rows whose fusion failed are gated
+    to OOB here via `invalid`."""
+    buf = depth_scale.shape[0]
+    sel = jnp.where(invalid, buf, sel)      # failed fits don't write
+    new_scale = depth_scale.at[sel].set(sc, mode="drop")
+    new_shift = depth_shift.at[sel].set(sh, mode="drop")
+    small = jnp.concatenate(
+        [w2c.reshape(w2c.shape[0], 16),
+         invalid[:, None].astype(jnp.float32)], 1)
+    return new_scale, new_shift, small
+
+
 # ---------------------------------------------------------------------------
 # jitted optimization step
 # ---------------------------------------------------------------------------
@@ -483,20 +527,22 @@ class Mapper:
         du, vm, po = fusion.gather_video_slices(
             s.disps_up, s.valid_depth_mask, s.poses, idxs)
         fused, w2c, sc, sh, invalid = fusion.fuse_proxy_depth(
-            du, vm, po, jnp.stack(monos), jnp.asarray(has))
+            du, vm, po, _stack_jit(tuple(monos)),
+            jnp.asarray(np.asarray(has, bool)))
 
-        # write the fitted scale/shift back into the tracker state
-        # (depth_video semantics — only rows that actually fused)
-        live = jnp.asarray(np.asarray(has[:D]) , bool) & ~invalid[:D]
-        sel = idxs[:D]
-        s.depth_scale = s.depth_scale.at[sel].set(
-            jnp.where(live, sc[:D], s.depth_scale[sel]))
-        s.depth_shift = s.depth_shift.at[sel].set(
-            jnp.where(live, sh[:D], s.depth_shift[sel]))
-
+        # scale/shift write-back + small-pull pack in ONE program (the
+        # eager .at[].set / where / concat chain was ~15 dispatches per
+        # refresh). Pad rows duplicate idx_list[0]; scatter order with
+        # duplicate indices is unspecified, so they get an OOB index
+        # (mode="drop") instead of a validity mask.
+        sel_np = np.asarray(idx_list, np.int32)
+        sel_np[D:] = self.video.buffer          # OOB → dropped
+        sel_np[:D][~np.asarray(has[:D], bool)] = self.video.buffer
+        s.depth_scale, s.depth_shift, small_dev = _refresh_writeback(
+            s.depth_scale, s.depth_shift, sc, sh,
+            jnp.asarray(sel_np), w2c, invalid)
         # ONE small host pull for the per-frame scalars + 4×4 poses
-        small = np.asarray(jnp.concatenate(
-            [w2c.reshape(Dp, 16), invalid[:, None].astype(jnp.float32)], 1))
+        small = np.asarray(small_dev)
         out = {}
         for i, (v, f) in enumerate(pairs):
             inval = bool(small[i, 16] > 0.5) or not has[i]
@@ -538,19 +584,14 @@ class Mapper:
     # -- rendering ----------------------------------------------------------
 
     def render(self, cam: Camera):
-        if self.sh_degree > 0:
-            w2c = jnp.asarray(cam.w2c)
-            campos = -w2c[:3, :3].T @ w2c[:3, 3]
-            cols = sh_ops.sh_colors(self.sh_degree, self.st.f_dc,
-                                    self.st.f_rest, self.st.xyz, campos)
-        else:
-            cols = G.get_colors_dc(self.st)
-        return rz.rasterize(
-            self.st.xyz, G.get_scaling(self.st), self.st.rotation,
-            G.get_opacity(self.st)[:, 0], cols,
-            self.st.alive, cam.w2c, jnp.zeros(6), self.intrinsics,
-            jnp.zeros(3), H=self.H, W=self.W, K=self.K,
+        out = _eval_render(
+            self.st, _stack_jit((cam.w2c,)), self.intrinsics,
+            H=self.H, W=self.W, K=self.K, sh_degree=self.sh_degree,
             max_span=self.eval_max_span)
+        return rz.RenderOutput(
+            color=out.color[0], depth=out.depth[0], alpha=out.alpha[0],
+            radii=out.radii[0], n_touched=out.n_touched[0],
+            means2d=out.means2d[0])
 
     def render_batch(self, cams):
         """Render several cameras in ONE program (eval path; binning and
@@ -558,22 +599,18 @@ class Mapper:
         whose fields are sliced to len(cams)."""
         B = len(cams)
         Bp = _round_up(B, 4)
-        w2cs = np.stack([np.asarray(c.w2c) for c in cams]
-                        + [np.eye(4)] * (Bp - B)).astype(np.float32)
-        if self.sh_degree > 0:
-            campos = -np.einsum("bji,bj->bi", w2cs[:, :3, :3],
-                                w2cs[:, :3, 3])
-            cols = jax.vmap(
-                lambda cp: sh_ops.sh_colors(self.sh_degree, self.st.f_dc,
-                                            self.st.f_rest, self.st.xyz,
-                                            cp))(jnp.asarray(campos))
-        else:
-            cols = G.get_colors_dc(self.st)
-        out = rz.rasterize_batch(
-            self.st.xyz, G.get_scaling(self.st), self.st.rotation,
-            G.get_opacity(self.st)[:, 0], cols, self.st.alive,
-            jnp.asarray(w2cs), jnp.zeros((Bp, 6)), self.intrinsics,
-            jnp.zeros(3), H=self.H, W=self.W, K=self.K,
+        if not hasattr(self, "_pad_cache"):
+            self._pad_cache = (
+                jnp.eye(4), jnp.zeros((self.H, self.W, 3)),
+                jnp.zeros((self.H, self.W), jnp.float32))
+        eye4 = self._pad_cache[0]
+        # w2cs stay ON DEVICE: np.asarray(c.w2c) here was a queue-draining
+        # fetch per camera on the eval path
+        w2cs = _stack_jit(tuple([c.w2c for c in cams]
+                                + [eye4] * (Bp - B)))
+        out = _eval_render(
+            self.st, w2cs, self.intrinsics,
+            H=self.H, W=self.W, K=self.K, sh_degree=self.sh_degree,
             max_span=self.eval_max_span)
         return rz.RenderOutput(
             color=out.color[:B], depth=out.depth[:B], alpha=out.alpha[:B],
@@ -606,20 +643,26 @@ class Mapper:
         B = _geom_bucket(n, 1) if self.mesh is None \
             else _round_up(n, max(4, self.mesh_size))
         pad = B - n
-        w2cs = jnp.stack([c.w2c for c in cams] + [jnp.eye(4)] * pad)
-        imgs = jnp.stack([c.image for c in cams]
-                         + [jnp.zeros((self.H, self.W, 3))] * pad)
-        deps = jnp.stack([jnp.asarray(c.depth, jnp.float32)
-                          if c.depth is not None
-                          else jnp.zeros((self.H, self.W)) for c in cams]
-                         + [jnp.zeros((self.H, self.W))] * pad)
-        expo = jnp.asarray([self.exp_ab.get(c.uid, np.zeros(2))
-                            for c in cams]
-                           + [np.zeros(2)] * pad, jnp.float32)
-        use_exp = jnp.asarray(
+        # cached pad arrays + ONE jitted stack per tensor: eager
+        # jnp.stack issues ~8 dispatches per call, and jnp.eye/zeros
+        # are one more each
+        if not hasattr(self, "_pad_cache"):
+            self._pad_cache = (
+                jnp.eye(4), jnp.zeros((self.H, self.W, 3)),
+                jnp.zeros((self.H, self.W), jnp.float32))
+        eye4, zimg, zdep = self._pad_cache
+        w2cs = _stack_jit(tuple([c.w2c for c in cams] + [eye4] * pad))
+        imgs = _stack_jit(tuple([c.image for c in cams] + [zimg] * pad))
+        deps = _stack_jit(tuple(
+            [c.depth if c.depth is not None else zdep for c in cams]
+            + [zdep] * pad))
+        expo = jnp.asarray(np.asarray(
+            [self.exp_ab.get(c.uid, np.zeros(2)) for c in cams]
+            + [np.zeros(2)] * pad, np.float32))
+        use_exp = jnp.asarray(np.asarray(
             [c.uid != self.first_mapped_uid for c in cams]
-            + [False] * pad)
-        valid = jnp.asarray([True] * n + [False] * pad)
+            + [False] * pad, bool))
+        valid = jnp.asarray(np.asarray([True] * n + [False] * pad, bool))
         return w2cs, imgs, deps, expo, use_exp, valid
 
     def _run_iters(self, cams, iters, densify_cfg=None, store_expo=True,

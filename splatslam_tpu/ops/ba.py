@@ -141,7 +141,7 @@ def make_edge_plan(ii: np.ndarray, jj: np.ndarray, t0: int, t1: int,
         edge_valid=jnp.asarray(valid_p),
         kx_valid=jnp.asarray(np.arange(M) < m),
         grp_edge=jnp.asarray(grp),
-        t0=jnp.asarray(t0, jnp.int32),
+        t0=jnp.asarray(np.asarray(t0, np.int32)),  # 0-d array: no convert op
         M=int(M), P=int(P), D=int(D),
     )
 

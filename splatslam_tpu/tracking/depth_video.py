@@ -189,6 +189,28 @@ def depth_filter_kernel(poses, disps, intrinsics, inds, thresh):
     return jax.vmap(per_frame)(inds, thresh)
 
 
+@partial(jax.jit, static_argnames=("thresh_mult", "visible_num",
+                                   "intr_scale"))
+def _valid_mask_kernel(poses, disps_full, mask, intr0, idx, *,
+                       thresh_mult: float, visible_num: int,
+                       intr_scale: float):
+    """Multiview-filter mask refresh as ONE program: gather + threshold +
+    depth_filter + nanmedian gate + scatter (was ~12 eager dispatches per
+    update_valid_depth_mask call)."""
+    buffer = disps_full.shape[0]
+    idx_safe = jnp.clip(idx, 0, buffer - 1)
+    disps = disps_full[idx_safe]
+    intr = intr0 * intr_scale
+    depths = 1.0 / jnp.clip(disps, 1e-8)
+    thresh = thresh_mult * depths.mean(axis=(1, 2))
+    count = depth_filter_kernel(poses, disps_full, intr, idx_safe, thresh)
+    multiview = count >= visible_num
+    depths_mv = jnp.where(multiview, depths, jnp.nan)
+    med = jnp.nanmedian(depths_mv.reshape(idx.shape[0], -1), axis=1)
+    masks = multiview & (depths < 3 * med[:, None, None])
+    return mask.at[idx].set(masks, mode="drop")
+
+
 @jax.jit
 def reproject_kernel(poses, disps, intrinsics, ii, jj):
     """Project pixels of frames ii into frames jj (depth_video.py:170-178).
@@ -271,6 +293,15 @@ class DepthVideo:
         self.counter = 0
         self.dirty = np.zeros(self.buffer, bool)
         self.npc_dirty = np.zeros(self.buffer, bool)
+        self._intr0 = None      # cached state.intrinsics[0] device row
+
+    @property
+    def intr0(self):
+        """Shared 1/8-res intrinsics row. Cached: `state.intrinsics[0]`
+        is an eager slice dispatch, and it's read ~10x per keyframe."""
+        if self._intr0 is None:
+            self._intr0 = self.state.intrinsics[0]
+        return self._intr0
 
     @property
     def ht(self):
@@ -296,17 +327,27 @@ class DepthVideo:
         """Write one keyframe's fields in a SINGLE device program: eagerly
         this was ~11 scatter dispatches per keyframe, each paying a
         compiler/loader RPC under the axon remote tunnel."""
+        if intrinsics is not None and int(idx) == 0:
+            self._intr0 = None      # row 0 rewritten → drop the cache
         fields = ["timestamp"]
-        values = [jnp.asarray(timestamp, jnp.float32)]
+        values = [jnp.asarray(np.asarray(timestamp, np.float32))]
         for name, v in (("images", image), ("poses", pose), ("disps", disp),
                         ("mono_disps", mono_depth),
                         ("intrinsics", intrinsics), ("fmaps", fmap),
                         ("nets", net), ("inps", inp),
                         ("gt_poses", gt_pose), ("gt_disps", gt_depth)):
             if v is not None:
+                # pre-cast 64-bit HOST inputs: jnp.asarray(float64) runs
+                # an eager convert_element_type program per field
+                if isinstance(v, np.ndarray):
+                    if v.dtype == np.float64:
+                        v = v.astype(np.float32)
+                    elif v.dtype == np.int64:
+                        v = v.astype(np.int32)
                 values.append(jnp.asarray(v))
                 fields.append(name)
-        self.state = _set_item_kernel(self.state, jnp.asarray(idx),
+        self.state = _set_item_kernel(self.state,
+                                      jnp.asarray(np.asarray(idx, np.int32)),
                                       tuple(values), tuple(fields),
                                       self.down)
         if idx >= self.counter:
@@ -330,9 +371,9 @@ class DepthVideo:
             ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
         ii_p, n = _pad_idx(np.asarray(ii))
         jj_p, _ = _pad_idx(np.asarray(jj))
-        ii_j = jnp.asarray(ii_p, jnp.int32)
-        jj_j = jnp.asarray(jj_p, jnp.int32)
-        intr = self.state.intrinsics[0]
+        ii_j = jnp.asarray(np.asarray(ii_p, np.int32))
+        jj_j = jnp.asarray(np.asarray(jj_p, np.int32))
+        intr = self.intr0
         if bidirectional:
             d1 = frame_distance_kernel(self.state.poses, self.state.disps,
                                        intr, ii_j, jj_j, beta)
@@ -421,7 +462,7 @@ class DepthVideo:
         if opt_type == "pose_depth":
             sens = jnp.zeros_like(s.disps)  # reference passes zeros
             s.poses, s.disps = ba_ops.dba(
-                s.poses, s.disps, s.intrinsics[0], target, weight, eta_full,
+                s.poses, s.disps, self.intr0, target, weight, eta_full,
                 sens, plan, iters=iters, lm=lm, ep=ep,
                 motion_only=motion_only)
             return True
@@ -474,7 +515,7 @@ class DepthVideo:
                 eta2 = eta2.at[jnp.asarray(np.where(sel)[0])].set(
                     jnp.asarray(eta_rows[rows[sel]]))
             s.disps, s.depth_scale, s.depth_shift = ba_ops.ba_scale_shift(
-                s.poses, s.disps, s.intrinsics[0], target_t, weight_t, eta2,
+                s.poses, s.disps, self.intr0, target_t, weight_t, eta2,
                 s.mono_disps, s.depth_scale, s.depth_shift,
                 s.valid_depth_mask_small, plan2, iters=iters, lm=lm, ep=ep,
                 alpha=0.01)
@@ -495,27 +536,21 @@ class DepthVideo:
             return
         s = self.state
         idx_p, n = _pad_idx(dirty_index, base=8, fill=self.buffer)
-        idx_j = jnp.asarray(idx_p, jnp.int32)
-        idx_safe = jnp.clip(idx_j, 0, self.buffer - 1)
-        disps = (s.disps_up if up else s.disps)[idx_safe]
-        intr = s.intrinsics[0] * (self.down if up else 1.0)
-        depths = 1.0 / jnp.clip(disps, 1e-8)
-        thresh = (self.cfg["tracking"]["multiview_filter"]["thresh"]
-                  * depths.mean(axis=(1, 2)))
-        count = depth_filter_kernel(
-            s.poses, s.disps_up if up else s.disps, intr, idx_safe, thresh)
-        visible_num = self.cfg["tracking"]["multiview_filter"]["visible_num"]
-        multiview = count >= visible_num
-        depths_mv = jnp.where(multiview, depths, jnp.nan)
-        med = jnp.nanmedian(depths_mv.reshape(len(idx_p), -1), axis=1)
-        masks = multiview & (depths < 3 * med[:, None, None])
+        idx_j = jnp.asarray(np.asarray(idx_p, np.int32))
+        mv = self.cfg["tracking"]["multiview_filter"]
+        # ONE program (was ~12 eager dispatches per call)
+        new_mask = _valid_mask_kernel(
+            s.poses, s.disps_up if up else s.disps,
+            s.valid_depth_mask if up else s.valid_depth_mask_small,
+            self.intr0, idx_j,
+            thresh_mult=float(mv["thresh"]),
+            visible_num=int(mv["visible_num"]),
+            intr_scale=float(self.down if up else 1.0))
         if up:
-            s.valid_depth_mask = s.valid_depth_mask.at[idx_j].set(
-                masks, mode="drop")
+            s.valid_depth_mask = new_mask
             self.dirty[dirty_index] = False
         else:
-            s.valid_depth_mask_small = s.valid_depth_mask_small.at[
-                idx_j].set(masks, mode="drop")
+            s.valid_depth_mask_small = new_mask
 
     def set_dirty(self, start, end):
         self.dirty[start:end] = True

@@ -66,6 +66,26 @@ def _pool_gather(buf, idx):
     return buf[jnp.clip(idx, 0, buf.shape[0] - 1)]
 
 
+@partial(jax.jit, static_argnames=("eb", "h", "w", "buffer"))
+def _alloc_pools(eb: int, h: int, w: int, buffer: int):
+    """All six FactorGraph device pools in one program."""
+    return (jnp.zeros((eb, h, w, 128), _NET_DTYPE),
+            jnp.zeros((eb, h, w, 2), jnp.float32),
+            jnp.zeros((eb, h, w, 2), jnp.float32),
+            jnp.zeros((eb, h, w, 2), jnp.float32),
+            jnp.zeros((eb, h, w, 2), jnp.float32),
+            1e-6 * jnp.ones((buffer, h, w), jnp.float32))
+
+
+@partial(jax.jit, static_argnums=1)
+def _pool_write_zeros(buf, n_rows: int, start):
+    """Zero n_rows of buf at (traced) offset start — fused variant of
+    _pool_write(buf, zeros_like(rows), start) without the eager
+    zeros_like broadcast."""
+    z = jnp.zeros((n_rows,) + buf.shape[1:], buf.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(buf, z, start, 0)
+
+
 @jax.jit
 def _pool_conf(weight, h_axis=(1, 2, 3)):
     """Per-edge mean confidence (small D2H)."""
@@ -369,19 +389,16 @@ class FactorGraph:
         self.jj = np.zeros(0, np.int64)
         self.age = np.zeros(0, np.int64)
         eb = _EDGE_BUCKET
-        self.net = jnp.zeros((eb, self.h, self.w, 128), _NET_DTYPE)
-        self.target = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
-        self.weight = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
+        # ONE allocation program for all six pools (a new graph is built
+        # per backend/loop/filler call — six eager zeros each added up)
+        (self.net, self.target, self.weight, self.target_inac,
+         self.weight_inac, self.damping_maps) = _alloc_pools(
+            eb, self.h, self.w, video.buffer)
 
         self.ii_inac = np.zeros(0, np.int64)
         self.jj_inac = np.zeros(0, np.int64)
-        self.target_inac = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
-        self.weight_inac = jnp.zeros((eb, self.h, self.w, 2), jnp.float32)
         self.ii_bad = np.zeros(0, np.int64)
         self.jj_bad = np.zeros(0, np.int64)
-
-        self.damping_maps = 1e-6 * jnp.ones(
-            (video.buffer, self.h, self.w), jnp.float32)
 
     # -- edge mutation (factor_graph.py:111-223) ----------------------------
 
@@ -420,16 +437,18 @@ class FactorGraph:
             self.weight = _pool_resize(self.weight, need)
 
         s = self.video.state
-        ii_j = jnp.asarray(kpad_ii, jnp.int32)
-        jj_j = jnp.asarray(kpad_jj, jnp.int32)
-        nets_new = s.nets[jnp.clip(ii_j, 0, self.video.buffer - 1)]
-        tgt_new, _ = reproject_kernel(s.poses, s.disps, s.intrinsics[0],
+        # all index prep on HOST (int64→int32 / clip on device are eager
+        # one-op programs: a dispatch each over the tunnel)
+        ii_j = jnp.asarray(np.asarray(kpad_ii, np.int32))
+        jj_j = jnp.asarray(np.asarray(kpad_jj, np.int32))
+        nets_new = _pool_gather(s.nets, ii_j)   # jitted gather (clips)
+        tgt_new, _ = reproject_kernel(s.poses, s.disps, self.video.intr0,
                                       ii_j, jj_j)
-        start = jnp.asarray(n_old)
+        start = jnp.asarray(np.asarray(n_old, np.int32))
         self.net = _pool_write(self.net, nets_new, start)
         self.target = _pool_write(self.target, tgt_new, start)
-        self.weight = _pool_write(self.weight, jnp.zeros_like(tgt_new),
-                                  start)
+        self.weight = _pool_write_zeros(self.weight,
+                                        int(tgt_new.shape[0]), start)
 
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
@@ -548,7 +567,7 @@ class FactorGraph:
 
         s = self.video.state
         net_n, target, weight, eta, upmask, coords1, _ = _update_kernel(
-            self.params, s.poses, s.disps, s.intrinsics[0], s.fmaps, s.inps,
+            self.params, s.poses, s.disps, self.video.intr0, s.fmaps, s.inps,
             self.net, self.target,
             jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
             jnp.asarray(valid), jnp.asarray(ix, jnp.int32), Mk)
@@ -609,7 +628,7 @@ class FactorGraph:
         ii_p, jj_p, valid, _, _, _ = self._padded_edges()
         ii_j = jnp.asarray(ii_p, jnp.int32)
         coords_gt, valid_gt = reproject_kernel(
-            s.gt_poses, s.gt_disps, s.intrinsics[0],
+            s.gt_poses, s.gt_disps, self.video.intr0,
             ii_j, jnp.asarray(jj_p, jnp.int32))
         # mask pixels with no GT depth (hole pixels have gt_disp == 0 and
         # would otherwise inject infinite-depth targets at full weight)
@@ -736,14 +755,19 @@ class FactorGraph:
         (poses, disps, disps_up, net_out, target_act, weight_act,
          damping_maps, depth_scale, depth_shift, valid_small) = \
             _fused_rounds(
-                self.params, s.poses, s.disps, s.disps_up, s.intrinsics[0],
+                self.params, s.poses, s.disps, s.disps_up, self.video.intr0,
                 s.fmaps, s.inps, s.mono_disps, s.depth_scale,
                 s.depth_shift, s.valid_depth_mask_small, s.gt_poses,
                 s.gt_disps, self.net, self.target, self.weight, t_in, w_in,
-                jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
-                jnp.asarray(valid), jnp.asarray(in_valid),
-                jnp.asarray(ix, jnp.int32),
-                jnp.asarray(uniq_pad, jnp.int32), plan, self.damping_maps,
+                # dtype-cast in NUMPY: jnp.asarray(int64, int32) runs an
+                # eager convert_element_type program on device per call
+                jnp.asarray(np.asarray(ii_p, np.int32)),
+                jnp.asarray(np.asarray(jj_p, np.int32)),
+                jnp.asarray(np.asarray(valid, bool)),
+                jnp.asarray(np.asarray(in_valid, bool)),
+                jnp.asarray(np.asarray(ix, np.int32)),
+                jnp.asarray(np.asarray(uniq_pad, np.int32)),
+                plan, self.damping_maps,
                 mv_cfg["thresh"], EP,
                 float(self.video.mono_thres or 0.0),
                 num_kf=Mk, rounds=len(opt_types),
@@ -781,7 +805,7 @@ class FactorGraph:
                                      pose_bucket=16)
         s = self.video.state
         poses, net, target = _fused_motion_rounds(
-            self.params, s.poses, s.disps, s.intrinsics[0], s.fmaps,
+            self.params, s.poses, s.disps, self.video.intr0, s.fmaps,
             s.inps, self.net, self.target,
             jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
             jnp.asarray(valid), jnp.asarray(ix, jnp.int32), plan,

@@ -7,11 +7,30 @@ alternating DSPO stages, distance-based keyframe culling, loop BA).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .factor_graph import FactorGraph
 from .backend import Backend
+
+
+@partial(jax.jit, static_argnames=("mean_win",))
+def _seed_next(poses, disps, t1, *, mean_win: int):
+    """Seed frame t1 from t1-1: copy pose, set disparity to the mean of
+    the last `mean_win` frames (frontend.py:95-96 / :129-130). One
+    program — eagerly this was 5-7 dispatches per keyframe."""
+    poses = poses.at[t1].set(poses[t1 - 1])
+    if mean_win == 1:
+        m = disps[t1 - 1].mean()
+    else:
+        # dynamic window [t1-mean_win, t1)
+        sl = jax.lax.dynamic_slice_in_dim(disps, t1 - mean_win, mean_win, 0)
+        m = sl.mean()
+    disps = disps.at[t1].set(m)
+    return poses, disps
 
 
 class Frontend:
@@ -100,8 +119,8 @@ class Frontend:
         # seed next frame: copy pose, set disparity to the mean
         # (frontend.py:95-96)
         s = self.video.state
-        s.poses = s.poses.at[self.t1].set(s.poses[self.t1 - 1])
-        s.disps = s.disps.at[self.t1].set(s.disps[self.t1 - 1].mean())
+        s.poses, s.disps = _seed_next(
+            s.poses, s.disps, jnp.asarray(np.asarray(self.t1, np.int32)), mean_win=1)
 
         if len(self.graph.ii) > 0:
             self.video.set_dirty(int(self.graph.ii.min()), self.t1)
@@ -119,9 +138,8 @@ class Frontend:
         self.graph.update_rounds(("pose_depth",) * 8, 1, use_inactive=True)
 
         s = self.video.state
-        s.poses = s.poses.at[self.t1].set(s.poses[self.t1 - 1])
-        s.disps = s.disps.at[self.t1].set(
-            s.disps[self.t1 - 4:self.t1].mean())
+        s.poses, s.disps = _seed_next(
+            s.poses, s.disps, jnp.asarray(np.asarray(self.t1, np.int32)), mean_win=4)
 
         self.is_initialized = True
         self.video.set_dirty(0, self.t1)

@@ -7,7 +7,11 @@ iterations per 16-frame batch against both bracketing keyframes.
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import lie
@@ -15,10 +19,43 @@ from .factor_graph import FactorGraph
 from .motion_filter import encode_features_batch
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _fill_write(state, idx, tt, t0, t1, inv_dt, frac, intr8, fmaps):
+    """Pose interpolation + pseudo-keyframe batch write in ONE program.
+
+    Eagerly this was ~14 lie/arithmetic dispatches plus M set_item
+    programs and 2M row slices per 16-frame batch — the dominant
+    dispatch cost of full-trajectory eval. idx rows may be OOB for the
+    last partial batch (mode=\"drop\")."""
+    Ps = state.poses
+    dP = lie.mul(Ps[t1], lie.inv(Ps[t0]))
+    v = lie.log(dP) * inv_dt[:, None]
+    Gs = lie.mul(lie.exp(v * frac[:, None]), Ps[t0])
+    M = idx.shape[0]
+    upd = dict(
+        timestamp=state.timestamp.at[idx].set(tt, mode="drop"),
+        poses=Ps.at[idx].set(Gs.astype(Ps.dtype), mode="drop"),
+        disps=state.disps.at[idx].set(
+            jnp.ones((M,) + state.disps.shape[1:]), mode="drop"),
+        intrinsics=state.intrinsics.at[idx].set(
+            jnp.broadcast_to(intr8, (M, 4)).astype(
+                state.intrinsics.dtype), mode="drop"),
+        fmaps=state.fmaps.at[idx].set(
+            fmaps.astype(state.fmaps.dtype), mode="drop"),
+    )
+    return dataclasses.replace(state, **upd)
+
+
+@jax.jit
+def _gather_rows(poses, idx):
+    return poses[jnp.clip(idx, 0, poses.shape[0] - 1)]
+
+
 class PoseTrajectoryFiller:
     def __init__(self, params, video):
         self.params = params
         self.video = video
+        self._ts_cache = None
 
     def _fill(self, timestamps, images, intrinsics):
         """One ≤16-frame batch (trajectory_filler.py:48-95).
@@ -32,27 +69,39 @@ class PoseTrajectoryFiller:
         M = len(timestamps)
         s = self.video.state
 
-        ts = np.asarray(s.timestamp[:N])
+        if self._ts_cache is None or len(self._ts_cache) < N:
+            # keyframe stamps are fixed during filling: ONE full-buffer
+            # fetch instead of a per-batch [:N] slice (a fresh program
+            # per keyframe count)
+            self._ts_cache = np.asarray(s.timestamp)
+        ts = self._ts_cache[:N]
         tt = np.asarray(timestamps, np.float32)
         t0 = np.asarray([max((ts <= t).sum() - 1, 0) for t in tt])
         t1 = np.where(t0 < N - 1, t0 + 1, t0)
 
-        Ps = s.poses[:N]
-        dt = jnp.asarray(ts[t1] - ts[t0] + 1e-3)
-        dP = lie.mul(Ps[jnp.asarray(t1)], lie.inv(Ps[jnp.asarray(t0)]))
-        v = lie.log(dP) / dt[:, None]
-        w = v * jnp.asarray(tt - ts[t0])[:, None]
-        Gs = lie.mul(lie.exp(w), Ps[jnp.asarray(t0)])
+        # pad the batch to the fixed 16 so every device program is the
+        # same shape; pad rows write OOB (dropped)
+        MB = 16
+        pad = MB - M
+        idx_np = np.concatenate(
+            [np.arange(N, N + M), np.full(pad, self.video.buffer)]
+        ).astype(np.int32)
+        tt_p = np.concatenate([tt, np.zeros(pad, np.float32)])
+        t0_p = np.concatenate([t0, np.zeros(pad)]).astype(np.int32)
+        t1_p = np.concatenate([t1, np.zeros(pad)]).astype(np.int32)
+        inv_dt = (1.0 / (ts[t1_p] - ts[t0_p] + 1e-3)).astype(np.float32)
+        frac = (tt_p - ts[t0_p]).astype(np.float32)
 
-        # temporarily append the batch as pseudo-keyframes; edges always
-        # point keyframe→new (ii = bracketing kf), so only poses + fmaps
-        # of the new frames are ever read — images are not uploaded
-        fmap = encode_features_batch(self.params, jnp.stack(images))
-        intr8 = jnp.asarray(intrinsics[0]) / float(self.video.down)
-        for m in range(M):
-            self.video.set_item(
-                N + m, float(tt[m]), None, Gs[m], 1.0, None,
-                intr8, fmap[m])
+        # pseudo-keyframe batch: edges always point keyframe→new
+        # (ii = bracketing kf), so only poses + fmaps of the new frames
+        # are ever read — images are not uploaded
+        imgs_np = np.stack(images + [images[-1]] * pad)
+        fmap = encode_features_batch(self.params, jnp.asarray(imgs_np))
+        intr8 = np.asarray(intrinsics[0], np.float32) / self.video.down
+        self.video.state = _fill_write(
+            s, jnp.asarray(idx_np), jnp.asarray(tt_p),
+            jnp.asarray(t0_p), jnp.asarray(t1_p), jnp.asarray(inv_dt),
+            jnp.asarray(frac), jnp.asarray(intr8), fmap)
         self.video.counter = N + M
 
         graph = FactorGraph(self.video, self.params, upsample=False)
@@ -60,7 +109,8 @@ class PoseTrajectoryFiller:
         graph.add_factors(t1, np.arange(N, N + M))
         graph.update_rounds_motion_only(12, N, N + M)
 
-        out = np.asarray(self.video.state.poses[N:N + M])
+        out = np.asarray(_gather_rows(self.video.state.poses,
+                                      jnp.asarray(idx_np)))[:M]
         self.video.counter = N
         return out
 
@@ -72,7 +122,7 @@ class PoseTrajectoryFiller:
         for i in range(len(image_stream)):
             timestamp, image, _, _ = image_stream[i]
             stamps.append(timestamp)
-            images.append(jnp.asarray(image))
+            images.append(np.asarray(image))   # host until the batch stack
             intrs.append(np.asarray(intrinsic))
             if len(stamps) == 16:
                 pose_list.append(self._fill(stamps, images, intrs))

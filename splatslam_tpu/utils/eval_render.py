@@ -12,9 +12,22 @@ import json
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..mapping.losses import psnr, ssim
+
+
+@jax.jit
+def _exposure_and_metrics(color, expo, gts):
+    """Exposure correction + per-frame PSNR/SSIM in ONE program (eagerly
+    ~15 dispatches per eval chunk)."""
+    images = jnp.clip(
+        jnp.exp(expo[:, 0, None, None, None]) * color
+        + expo[:, 1, None, None, None], 0.0, 1.0)
+    ps = jax.vmap(lambda im, gt: psnr(im, gt, gt > 0))(images, gts)
+    ss = jax.vmap(ssim)(images, gts)
+    return images, jnp.stack([ps, ss])
 
 
 def _try_lpips():
@@ -153,14 +166,9 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
             if k != mapper.first_mapped_uid else np.zeros(2)
             for k, _ in chunk], np.float32)
         gt_stack = jnp.asarray(np.stack([np.asarray(g[1]) for g in gts]))
-        images = jnp.clip(
-            jnp.exp(expo[:, 0, None, None, None]) * out.color
-            + expo[:, 1, None, None, None], 0.0, 1.0)
-        B = len(chunk)
-        ps = jnp.stack([psnr(images[i], gt_stack[i], gt_stack[i] > 0)
-                        for i in range(B)])
-        ss = jnp.stack([ssim(images[i], gt_stack[i]) for i in range(B)])
-        scalars = np.asarray(jnp.stack([ps, ss]))     # ONE pull
+        images, scalars_dev = _exposure_and_metrics(
+            out.color, jnp.asarray(expo), gt_stack)
+        scalars = np.asarray(scalars_dev)             # ONE pull
         psnrs.extend(scalars[0].tolist())
         ssims.extend(scalars[1].tolist())
 
