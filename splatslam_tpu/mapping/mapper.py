@@ -1021,8 +1021,8 @@ class Mapper:
             jnp.asarray(np.asarray([r[0] for r in rows], np.int32)),
             jnp.asarray(np.stack([r[1] for r in rows])),
             jnp.asarray(np.stack([r[2] for r in rows])),
-            jnp.stack([jnp.asarray(r[3]) for r in rows]),
-            jnp.stack([jnp.asarray(r[4]) for r in rows]),
+            _stack_jit(tuple(r[3] for r in rows)),
+            _stack_jit(tuple(r[4] for r in rows)),
             self.intrinsics,
             jnp.asarray(np.asarray([bool(r[5]) for r in rows])),
             jnp.asarray(np.arange(Dp) < D))
