@@ -139,3 +139,34 @@ def dataclasses_replace_kfid(st, n, rng):
     kf = np.zeros(st.kf_id.shape[0], np.int32)
     kf[:n] = np.where(rng.rand(n) < 0.5, 4, 9)
     return dataclasses.replace(st, kf_id=jnp.asarray(kf))
+
+
+def test_refresh_writeback_semantics():
+    """mapper._refresh_writeback: only live rows write scale/shift; pad
+    rows (OOB sel) and invalid rows are dropped even when they duplicate
+    a live row's index; the packed pull is [w2c.flat | invalid]."""
+    import jax.numpy as jnp
+    from splatslam_tpu.mapping.mapper import _refresh_writeback
+
+    buf = 8
+    scale0 = jnp.arange(buf, dtype=jnp.float32)
+    shift0 = 10.0 + jnp.arange(buf, dtype=jnp.float32)
+    # rows: [real kf 2 (ok), real kf 5 (fusion failed), pad dup of 2]
+    sel = jnp.asarray(np.array([2, 5, buf], np.int32))  # pad already OOB
+    sc = jnp.asarray([100.0, 200.0, 300.0])
+    sh = jnp.asarray([-1.0, -2.0, -3.0])
+    invalid = jnp.asarray([False, True, False])
+    w2c = jnp.tile(jnp.eye(4)[None], (3, 1, 1))
+
+    scale, shift, small = _refresh_writeback(
+        scale0, shift0, sc, sh, sel, w2c, invalid)
+    scale, shift, small = map(np.asarray, (scale, shift, small))
+
+    assert scale[2] == 100.0 and shift[2] == -1.0        # live row wrote
+    assert scale[5] == 5.0 and shift[5] == 15.0          # invalid kept old
+    untouched = [i for i in range(8) if i not in (2, 5)]
+    np.testing.assert_array_equal(scale[untouched],
+                                  np.asarray(scale0)[untouched])
+    assert small.shape == (3, 17)
+    np.testing.assert_array_equal(small[:, 16], [0.0, 1.0, 0.0])
+    np.testing.assert_allclose(small[0, :16].reshape(4, 4), np.eye(4))
