@@ -593,19 +593,24 @@ class Mapper:
             radii=out.radii[0], n_touched=out.n_touched[0],
             means2d=out.means2d[0])
 
+    def _pads(self):
+        """Shared device pad arrays for camera-batch stacking (lazy,
+        allocated once)."""
+        if not hasattr(self, "_pad_cache"):
+            self._pad_cache = (
+                jnp.eye(4), jnp.zeros((self.H, self.W, 3)),
+                jnp.zeros((self.H, self.W), jnp.float32))
+        return self._pad_cache
+
     def render_batch(self, cams):
         """Render several cameras in ONE program (eval path; binning and
         compositing batch like the training step). Returns a RenderOutput
         whose fields are sliced to len(cams)."""
         B = len(cams)
         Bp = _round_up(B, 4)
-        if not hasattr(self, "_pad_cache"):
-            self._pad_cache = (
-                jnp.eye(4), jnp.zeros((self.H, self.W, 3)),
-                jnp.zeros((self.H, self.W), jnp.float32))
-        eye4 = self._pad_cache[0]
-        # w2cs stay ON DEVICE: np.asarray(c.w2c) here was a queue-draining
-        # fetch per camera on the eval path
+        eye4, _, _ = self._pads()
+        # ONE jitted stack: eager jnp.stack here was ~8 dispatches
+        # (w2c is host numpy per camera — the stack uploads once)
         w2cs = _stack_jit(tuple([c.w2c for c in cams]
                                 + [eye4] * (Bp - B)))
         out = _eval_render(
@@ -646,11 +651,7 @@ class Mapper:
         # cached pad arrays + ONE jitted stack per tensor: eager
         # jnp.stack issues ~8 dispatches per call, and jnp.eye/zeros
         # are one more each
-        if not hasattr(self, "_pad_cache"):
-            self._pad_cache = (
-                jnp.eye(4), jnp.zeros((self.H, self.W, 3)),
-                jnp.zeros((self.H, self.W), jnp.float32))
-        eye4, zimg, zdep = self._pad_cache
+        eye4, zimg, zdep = self._pads()
         w2cs = _stack_jit(tuple([c.w2c for c in cams] + [eye4] * pad))
         imgs = _stack_jit(tuple([c.image for c in cams] + [zimg] * pad))
         deps = _stack_jit(tuple(

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
-from .factor_graph import FactorGraph
+from .factor_graph import FactorGraph, _pool_gather
 from .motion_filter import encode_features_batch
 
 
@@ -46,9 +46,6 @@ def _fill_write(state, idx, tt, t0, t1, inv_dt, frac, intr8, fmaps):
     return dataclasses.replace(state, **upd)
 
 
-@jax.jit
-def _gather_rows(poses, idx):
-    return poses[jnp.clip(idx, 0, poses.shape[0] - 1)]
 
 
 class PoseTrajectoryFiller:
@@ -69,10 +66,12 @@ class PoseTrajectoryFiller:
         M = len(timestamps)
         s = self.video.state
 
-        if self._ts_cache is None or len(self._ts_cache) < N:
+        if self._ts_cache is None:
             # keyframe stamps are fixed during filling: ONE full-buffer
             # fetch instead of a per-batch [:N] slice (a fresh program
-            # per keyframe count)
+            # per keyframe count). Invalidated per __call__ — _fill
+            # writes pseudo-keyframe stamps past N that must not leak
+            # into a later fill pass.
             self._ts_cache = np.asarray(s.timestamp)
         ts = self._ts_cache[:N]
         tt = np.asarray(timestamps, np.float32)
@@ -109,7 +108,7 @@ class PoseTrajectoryFiller:
         graph.add_factors(t1, np.arange(N, N + M))
         graph.update_rounds_motion_only(12, N, N + M)
 
-        out = np.asarray(_gather_rows(self.video.state.poses,
+        out = np.asarray(_pool_gather(self.video.state.poses,
                                       jnp.asarray(idx_np)))[:M]
         self.video.counter = N
         return out
@@ -117,6 +116,7 @@ class PoseTrajectoryFiller:
     def __call__(self, image_stream):
         """Fill poses for every frame (trajectory_filler.py:97-123).
         Returns (n_frames, 7) w2c pose vectors."""
+        self._ts_cache = None       # new fill pass: re-read keyframe stamps
         pose_list, stamps, images, intrs = [], [], [], []
         intrinsic = image_stream.get_intrinsic()
         for i in range(len(image_stream)):
