@@ -98,3 +98,43 @@ def test_mapper_mesh_step_matches_single_device():
     np.testing.assert_allclose(xyz8, xyz1, atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(opa8, opa1, atol=1e-5, rtol=1e-4)
     np.testing.assert_array_equal(nt8, nt1)
+
+
+def test_slam_runs_on_production_camera_mesh(tmp_path):
+    """End-to-end SLAM with mapping.mesh_devices=8 on the virtual CPU
+    mesh: the PRODUCTION mapper loop (init, window opt, final refine)
+    must run sharded over the "cam" axis and finish with finite
+    metrics. (map_step_n numerical equivalence vs single device is
+    asserted separately above; final_refine under a mesh uses the
+    documented B-batch schedule.)"""
+    from splatslam_tpu.config import load_config
+    from splatslam_tpu.slam import SLAM
+
+    cfg = load_config("configs/Synthetic/smoke_oracle.yaml",
+                      "configs/splat_slam.yaml")
+    cfg["max_frames"] = 12
+    cfg["synthetic"]["n_frames"] = 12
+    cfg["cam"].update(H=96, W=128, H_out=96, W_out=128,
+                      fx=80.0, fy=80.0, cx=63.5, cy=47.5)
+    cfg["tracking"]["buffer"] = 16
+    cfg["tracking"]["warmup"] = 4
+    # the shrunken focal shrinks oracle flow — admit keyframes readily
+    cfg["tracking"]["motion_filter"]["thresh"] = 0.2
+    cfg["tracking"]["frontend"]["keyframe_thresh"] = 0.1
+    cfg["mapping"]["capacity"] = 8192
+    cfg["mapping"]["raster_K"] = 64
+    cfg["mapping"]["mesh_devices"] = 8
+    cfg["mapping"]["final_refine_iters"] = 8
+    cfg["mapping"]["Training"]["init_itr_num"] = 16
+    cfg["mapping"]["Training"]["mapping_itr_num"] = 8
+    cfg["meshing"]["mesh"] = False
+    cfg["data"]["output"] = str(tmp_path)
+
+    slam = SLAM(cfg)
+    assert slam.mapper is not None and slam.mapper.mesh is not None, \
+        "mesh_devices=8 must build a production camera mesh"
+    slam.run()
+    import numpy as np
+    import jax.numpy as jnp
+    assert bool(jnp.isfinite(slam.mapper.st.xyz).all())
+    assert int(np.asarray(slam.mapper.st.alive.sum())) > 0
