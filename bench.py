@@ -70,9 +70,34 @@ def _bail(signum, frame):
     os._exit(0)
 
 
+def _probe_tunnel_alive(timeout_s: int) -> bool:
+    """Bounded liveness check of the (tunneled, sometimes-down) TPU in a
+    SUBPROCESS — jax backend init has no timeout of its own, and a dead
+    tunnel otherwise hangs the bench before the first partial line."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "np.asarray(jnp.zeros(4) + 1.0); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return b"ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, _bail)
+
+    probe_s = int(os.environ.get("BENCH_TUNNEL_PROBE_S", "420"))
+    if probe_s > 0 and not _probe_tunnel_alive(probe_s):
+        # emit a parsable result that says WHY the value is zero rather
+        # than hanging until the driver's timeout kills us silently
+        out = result_line(partial=True)
+        out["error"] = ("tpu_unreachable: backend init did not complete "
+                        f"within {probe_s}s (tunnel down?)")
+        print(json.dumps(out), flush=True)
+        return
 
     from splatslam_tpu.config import load_config
     from splatslam_tpu.slam import SLAM
