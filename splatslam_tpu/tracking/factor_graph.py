@@ -66,6 +66,15 @@ def _pool_gather(buf, idx):
     return buf[jnp.clip(idx, 0, buf.shape[0] - 1)]
 
 
+@jax.jit
+def _shift_rows(state, damping_maps, src):
+    """Gather every per-keyframe array of the video state (and the
+    graph's damping maps) by `src` in one program — the rm_keyframe
+    ring-buffer shift."""
+    shifted = jax.tree_util.tree_map(lambda a: a[src], state)
+    return shifted, damping_maps[src]
+
+
 @partial(jax.jit, static_argnames=("eb", "h", "w", "buffer"))
 def _alloc_pools(eb: int, h: int, w: int, buffer: int):
     """All six FactorGraph device pools in one program."""
@@ -505,13 +514,13 @@ class FactorGraph:
         B = self.video.buffer
         src = np.arange(B)
         src[ix:-1] = src[ix:-1] + 1
-        src = jnp.asarray(np.clip(src, 0, B - 1))
-        for name in ("timestamp", "images", "poses", "disps", "disps_up",
-                     "intrinsics", "mono_disps", "depth_scale", "depth_shift",
-                     "valid_depth_mask", "valid_depth_mask_small", "fmaps",
-                     "nets", "inps", "damping", "gt_poses", "gt_disps"):
-            setattr(s, name, getattr(s, name)[src])
-        self.damping_maps = self.damping_maps[src]
+        src = jnp.asarray(np.clip(src, 0, B - 1).astype(np.int32))
+        # ONE program for the whole ring-buffer shift (was 18 eager
+        # full-buffer gathers per culled keyframe)
+        self.video.state, self.damping_maps = _shift_rows(
+            s, self.damping_maps, src)
+        if ix == 0:
+            self.video._intr0 = None    # row 0 rewritten by the shift
         d = self.video.dirty
         d[ix:-1] = d[ix + 1:]
         d2 = self.video.npc_dirty
