@@ -640,13 +640,17 @@ class Mapper:
 
     def _stack_cams(self, cams):
         n = len(cams)
-        # power-of-two batch buckets → log-many compiles; a flat
-        # round-up-to-4 made the 150-iteration init map render 4 cameras
-        # for its single real one. Under a mesh the bucket must divide
-        # evenly across the "cam" axis.
-        from ..ops.ba import _geom_bucket
-        B = _geom_bucket(n, 1) if self.mesh is None \
-            else _round_up(n, max(4, self.mesh_size))
+        # Hybrid batch buckets: exact (1,2,3) below 4 — the
+        # 150-iteration init map must not render 4 cameras for its
+        # single real one — and multiples of 4 above (pure powers of
+        # two padded the steady Replica window of 12 cams to 16: +33%
+        # dead rasterization in the dominant map.opt phase). Under a
+        # mesh the bucket must also divide the "cam" axis → lcm.
+        import math
+        if self.mesh is None:
+            B = n if n < 4 else _round_up(n, 4)
+        else:
+            B = _round_up(n, math.lcm(4, self.mesh_size))
         pad = B - n
         # cached pad arrays + ONE jitted stack per tensor: eager
         # jnp.stack issues ~8 dispatches per call, and jnp.eye/zeros

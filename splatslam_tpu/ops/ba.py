@@ -473,6 +473,14 @@ def bad_mono_frames(mono_disps, disps, valid_small, mono_thres):
     the host DSPO path and the fused tracking-rounds kernel so both drop
     the same edges. Returns (B,) bool."""
     sc, _, err = align_scale_and_shift(mono_disps, disps, valid_small)
+    return bad_mono_from_fit(sc, err, disps, valid_small, mono_thres)
+
+
+@jax.jit
+def bad_mono_from_fit(sc, err, disps, valid_small, mono_thres):
+    """bad_mono_frames when the caller already has the closed-form fit
+    (the host DSPO path computes align_scale_and_shift anyway — reusing
+    it halves the fit work per stage-2 dispatch)."""
     avg = disps.mean(axis=(-2, -1))
     vfrac = valid_small.astype(disps.dtype).mean(axis=(-2, -1))
     return ((err / jnp.clip(avg, 1e-8) > mono_thres)
@@ -558,8 +566,14 @@ def _scale_shift_iteration(poses, disps, intrinsics, target, weight, eta,
     dws = jnp.where(ok, dws, 0.0)
     dq = jnp.where(ok, dq, 0.0)
 
-    new_d = jnp.clip(d_k + dz, 1e-5, None).reshape(M, H_img, W_img)
-    disps = disps.at[plan.kx].set(new_d)
+    # Padded kx rows repeat kx[-1]; a duplicate-index .set would clobber
+    # that frame's update with unspecified ordering. Scatter-ADD the
+    # masked post-clip increment instead (ok-masked rows add exactly 0,
+    # so duplicates commute): old + (clip(old+dz) - old) == clip(old+dz).
+    delta = jnp.where(ok[:, None],
+                      jnp.clip(d_k + dz, 1e-5, None) - d_k,
+                      0.0).reshape(M, H_img, W_img)
+    disps = disps.at[plan.kx].add(delta)
     scales = scales.at[plan.kx].add(dws)
     shifts = shifts.at[plan.kx].add(dq)
     return disps, scales, shifts

@@ -488,8 +488,9 @@ class DepthVideo:
                 # (depth_video.py:256-276); shared device helper (ONE
                 # fetch) — the fused tracking kernel applies the same
                 # rule as a per-edge weight mask (factor_graph)
-                bad = np.asarray(ba_ops.bad_mono_frames(
-                    mono, est, valid, float(self.mono_thres)))[:curr]
+                bad = np.asarray(ba_ops.bad_mono_from_fit(
+                    scale_t, err_t, est, valid,
+                    float(self.mono_thres)))[:curr]
                 bad_frames = set(np.where(bad)[0].tolist())
                 keep = np.asarray([
                     (int(a) not in bad_frames) and (int(b) not in bad_frames)

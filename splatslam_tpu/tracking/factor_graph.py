@@ -242,10 +242,18 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                 pose_idx = plan.t0 + jnp.arange(plan.P)
                 new_p = lie.retr(poses[pose_idx], dx.astype(poses.dtype))
                 poses = poses.at[pose_idx].set(lie.normalize(new_p))
+                # Padded kx rows repeat kx[-1]; duplicate-index .set
+                # clobbers that frame's update with unspecified order
+                # (same hazard dba() fixed) — scatter-ADD masked
+                # increments and clip only touched frames.
                 dz_img = (dz.reshape(plan.M, h, w)
                           * plan.kx_valid[:, None, None])
-                upd = jnp.clip(disps[plan.kx] + dz_img, 1e-5, None)
-                disps = disps.at[plan.kx].set(upd)
+                delta = jnp.zeros_like(disps).at[plan.kx].add(
+                    dz_img.astype(disps.dtype))
+                touched = jnp.zeros((disps.shape[0],), disps.dtype).at[
+                    plan.kx].add(plan.kx_valid.astype(disps.dtype)) > 0
+                upd = jnp.clip(disps + delta, 1e-5, None)
+                disps = jnp.where(touched[:, None, None], upd, disps)
             return poses, disps
 
         if opt_types[r] == "pose_depth":

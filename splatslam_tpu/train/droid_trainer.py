@@ -350,7 +350,7 @@ def make_dba_train_step(tx, N: int = 7, iters: int = 8, gamma: float = 0.9,
 
 def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
               seed=1, init_ckpt="pretrained/droid_selftrained.msgpack",
-              ckpt_path="pretrained/droid_selftrained.msgpack",
+              ckpt_path="pretrained/droid_dba.msgpack",
               log_every=20, params=None):
     """Fine-tune the update operator through the BA layer.
 
