@@ -276,9 +276,18 @@ def map_step_n(st: G.GaussianState, exp_state, tau_state, w2cs, images,
 
     def rebin(st, w2cs, margin=rebin_margin):
         nb = w2cs.shape[0]
+        # opacity HEADROOM for reused lists: the alpha-cutoff binning
+        # radius grows with opacity, and opacity_lr=0.05 on the logit can
+        # widen a footprint past the pixel margin within a rebin window
+        # (worst after an opacity reset). Bin with the opacity bound it
+        # could reach by the next rebin; margin=0 (exact per-step paths)
+        # keeps the true opacity.
+        logit = st.opacity[:, 0]
+        if margin > 0:
+            logit = logit + rebin_every * 0.05
         return rz.bin_batch(
             st.xyz, jnp.exp(st.scaling), st.rotation,
-            jax.nn.sigmoid(st.opacity)[:, 0], st.alive, w2cs,
+            jax.nn.sigmoid(logit), st.alive, w2cs,
             jnp.zeros((nb, 6)), intrinsics, H=H, W=W, K=K,
             margin=margin, max_span=max_span)
 

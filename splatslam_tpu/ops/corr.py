@@ -161,8 +161,8 @@ def alt_corr(fmap_pyr: list[jnp.ndarray], ii: jnp.ndarray, jj: jnp.ndarray,
         # keep the volume fp32 through the window sampling: quantizing
         # to bf16 here added ~0.4% relative rounding error to the
         # correlation features feeding the update GRU (the hat-weight
-        # contractions below still run at MXU bf16 input rate via
-        # preferred_element_type)
+        # contractions in _bilinear_window_sample therefore run with
+        # fp32 operands — a deliberate accuracy-over-rate choice)
         vol = vol.reshape(N, H, W, H2, W2)
         out.append(_bilinear_window_sample(
             vol, coords / (2 ** lvl), radius))

@@ -129,8 +129,9 @@ def projective_transform(poses: jnp.ndarray, depths: jnp.ndarray,
 
     if jacobian:
         Jj = Jp @ Ja                                     # (B,N,H,W,2,6)
-        Adj = lie.adjoint(Gij)[:, :, None, None]          # (B,N,1,1,6,6)
-        Ji = -(Jj @ Adj)
+        # dual-adjoint transport Ji = -(Jj @ Adj(Gij)) — shared helper
+        # so the covector convention lives in one place (lie.adjT_apply)
+        Ji = -lie.adjT_apply(Gij[:, :, None, None], Jj)
         Jz2 = lie.act(Gij[:, :, None, None, :], Jz)       # transform dX/dd
         Jz2 = (Jp @ Jz2[..., None])                       # (B,N,H,W,2,1)
         return x1, valid, (Ji, Jj, Jz2)

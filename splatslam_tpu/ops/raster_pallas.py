@@ -151,7 +151,8 @@ def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
                 cum = _prefix_prod(1.0 - alpha)                 # (CH,P)
                 t_before = trans * jnp.concatenate(
                     [jnp.ones_like(cum[:1]), cum[:-1]], 0)
-                w = jnp.where(t_before < T_MIN, 0.0, alpha * t_before)
+                w = jnp.where(t_before * (1.0 - alpha) < T_MIN,
+                              0.0, alpha * t_before)
                 st_ref[0:3, :] = st_ref[0:3, :] + jnp.concatenate(
                     [jnp.sum(w * cr, 0, keepdims=True),
                      jnp.sum(w * cg, 0, keepdims=True),
@@ -242,7 +243,7 @@ def _bwd_tile(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
             cum = _prefix_prod(1.0 - alpha)
             t_before = trans * jnp.concatenate(
                 [jnp.ones_like(cum[:1]), cum[:-1]], 0)
-            w_live = t_before >= T_MIN
+            w_live = t_before * (1.0 - alpha) >= T_MIN
             w = jnp.where(w_live, alpha * t_before, 0.0)
             s = cr * g_c0 + cg * g_c1 + cb_ * g_c2 + dp * g_d
             incl = _prefix_sum(w * s)

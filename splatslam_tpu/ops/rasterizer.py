@@ -161,11 +161,15 @@ def _searchsorted_rows(sorted_rows: jnp.ndarray, qs: jnp.ndarray):
 
     def body(_, lohi):
         lo, hi = lohi
+        # freeze converged lanes: once lo == hi, an extra iteration with
+        # mid == lo == L reads the clipped last element and could push
+        # lo to L+1 when every key in the row is < q
+        active = lo < hi
         mid = (lo + hi) // 2
         v = flat[jnp.clip(mid, 0, L - 1) + row_off]
-        go_right = v < qs[None, :]
+        go_right = (v < qs[None, :]) & active
         return (jnp.where(go_right, mid + 1, lo),
-                jnp.where(go_right, hi, mid))
+                jnp.where(active & ~go_right, mid, hi))
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
@@ -342,8 +346,12 @@ def _composite_scan(tile_ids, pix, tl, chunk_k, with_residuals):
         T_before = trans[:, None, :] * jnp.concatenate(
             [jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
         w_contrib = alpha * T_before
-        # hard stop like CUDA: no contributions once T < T_MIN
-        w_contrib = jnp.where(T_before < T_MIN, 0.0, w_contrib)
+        # hard stop EXACTLY like CUDA: contributor i is dropped when its
+        # inclusion would push T below T_MIN (test_T = T*(1-alpha) <
+        # 1e-4, forward.cu). Monotone, so all later contributors fail
+        # the same test -> equivalent to the CUDA loop break.
+        w_contrib = jnp.where(T_before * (1.0 - alpha) < T_MIN,
+                              0.0, w_contrib)
 
         color = color + jnp.einsum("tcp,tcd->tdp", w_contrib,
                                    pk[..., 5:8])
@@ -405,7 +413,7 @@ def _composite_core_bwd(chunk_k, res, cts):
         cum = jnp.cumprod(1.0 - alpha, axis=1)
         T_before = tr_in[:, None, :] * jnp.concatenate(
             [jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
-        w_live = T_before >= T_MIN
+        w_live = T_before * (1.0 - alpha) >= T_MIN
         w = jnp.where(w_live, alpha * T_before, 0.0)
 
         # per-contributor pixel scalar sᵢ = colᵢ·g_c + depᵢ·g_d
@@ -456,7 +464,9 @@ def _composite(tile_ids, pix, packets, chunk_k):
     tile_ids (T, K); pix (T, P, 2); packets (N+1, 10) rows =
     [mean2d(2), conic(3), color(3), opacity(1), depth(1)] with a zero row
     appended for the -1 padding index.
-    Returns color (T,P,3), depth (T,P), alpha (T,P), touched (T,K) bool.
+    Returns color (T,P,3), depth (T,P), alpha (T,P), and touched (T,K)
+    int32 — per-entry count of pixels with nonzero contribution (the
+    n_touched fallback path sums these counts per Gaussian).
     """
     # ONE gather into tile-list layout OUTSIDE the differentiable core;
     # its VJP is a single scatter-add back into the packet rows.
@@ -529,19 +539,8 @@ def _composite_tiles_pallas(tile_ids, counts, packets, ntx, n_cam_tiles,
     Returns color (B·T,P,3), depth (B·T,P), alpha (B·T,P),
     n_touched (B,N) int32 (zeros when want_touched=False — the fwd
     kernel statically skips the per-entry accumulation)."""
-    from . import raster_pallas as rp
-    B, T, K = tile_ids.shape
-    N = packets.shape[1]
-    tl_T, counts_flat = _pallas_prep(tile_ids, counts, packets)
-    out, ntouch = rp.composite_fwd_pallas(
-        counts_flat, tl_T, B, n_cam_tiles, ntx, N,
-        want_touched=want_touched)
-    if want_touched:
-        nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
-    else:
-        nt = jnp.zeros((B, N), jnp.int32)
-    return (out[:, 0:3, :].transpose(0, 2, 1), out[:, 3, :],
-            out[:, 4, :], nt)
+    return _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles,
+                    want_touched)[0]
 
 
 def _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles, want_touched):
@@ -583,6 +582,22 @@ def _ctp_bwd(ntx, n_cam_tiles, want_touched, res, cts):
 _composite_tiles_pallas.defvjp(_ctp_fwd, _ctp_bwd)
 
 
+def _project_cameras(means3D, scales, rotations, alive, w2cs, taus,
+                     intrinsics, H, W, near):
+    """Shared camera-batch projection prologue: retract pose deltas
+    (w2c ← exp(tau) ∘ w2c), vmap project_gaussians, apply the alive
+    mask. One definition for bin_batch / raster_health /
+    rasterize_batch so the pose-delta and visibility conventions cannot
+    drift apart. Returns (means2d, depth_z, conic, radius, visible)."""
+    dT = jax.vmap(lambda t: lie.to_matrix(lie.exp(t)))(taus)
+    w2c_t = dT @ w2cs
+    means2d, depth_z, conic, radius, in_front = jax.vmap(
+        project_gaussians,
+        in_axes=(None, None, None, 0, None, None, None, None))(
+            means3D, scales, rotations, w2c_t, intrinsics, H, W, near)
+    return means2d, depth_z, conic, radius, in_front & alive[None]
+
+
 def _bin_radius(radius, opacities, margin=0.0):
     """Binning radius: exact alpha-cutoff shrink of the 3σ radius.
 
@@ -615,13 +630,9 @@ def bin_batch(means3D, scales, rotations, opacities, alive, w2cs, taus,
     multi-million-key sort was ~1/6 of each training step)."""
     n_tiles_x = (W + TILE - 1) // TILE
     n_tiles_y = (H + TILE - 1) // TILE
-    dT = jax.vmap(lambda t: lie.to_matrix(lie.exp(t)))(taus)
-    w2c_t = dT @ w2cs
-    means2d, depth_z, conic, radius, in_front = jax.vmap(
-        project_gaussians,
-        in_axes=(None, None, None, 0, None, None, None, None))(
-            means3D, scales, rotations, w2c_t, intrinsics, H, W, near)
-    visible = in_front & alive[None]
+    means2d, depth_z, _, radius, visible = _project_cameras(
+        means3D, scales, rotations, alive, w2cs, taus, intrinsics,
+        H, W, near)
     return bin_gaussians_batch(
         means2d, _bin_radius(radius, opacities, margin), depth_z, visible,
         n_tiles_x, n_tiles_y, K, max_span)
@@ -645,13 +656,9 @@ def raster_health(means3D, scales, rotations, opacities, alive, w2cs, taus,
     """
     n_tiles_x = (W + TILE - 1) // TILE
     n_tiles_y = (H + TILE - 1) // TILE
-    dT = jax.vmap(lambda t: lie.to_matrix(lie.exp(t)))(taus)
-    w2c_t = dT @ w2cs
-    means2d, depth_z, conic, radius, in_front = jax.vmap(
-        project_gaussians,
-        in_axes=(None, None, None, 0, None, None, None, None))(
-            means3D, scales, rotations, w2c_t, intrinsics, H, W, near)
-    visible = in_front & alive[None]
+    means2d, depth_z, _, radius, visible = _project_cameras(
+        means3D, scales, rotations, alive, w2cs, taus, intrinsics,
+        H, W, near)
     r = _bin_radius(radius, opacities)
     _, counts = bin_gaussians_batch(
         means2d, r, depth_z, visible, n_tiles_x, n_tiles_y, K, max_span)
@@ -703,19 +710,14 @@ def rasterize_batch(means3D, scales, rotations, opacities, colors, alive,
     if colors.ndim == 2:
         colors = jnp.broadcast_to(colors[None], (B, N, 3))
 
-    dT = jax.vmap(lambda t: lie.to_matrix(lie.exp(t)))(taus)
-    w2c_t = dT @ w2cs
-
     n_tiles_x = (W + TILE - 1) // TILE
     n_tiles_y = (H + TILE - 1) // TILE
     T = n_tiles_x * n_tiles_y
 
-    means2d, depth_z, conic, radius, in_front = jax.vmap(
-        project_gaussians,
-        in_axes=(None, None, None, 0, None, None, None, None))(
-            means3D, scales, rotations, w2c_t, intrinsics, H, W, near)
+    means2d, depth_z, conic, radius, visible = _project_cameras(
+        means3D, scales, rotations, alive, w2cs, taus, intrinsics,
+        H, W, near)
     means2d = means2d + means2d_dummy
-    visible = in_front & alive[None]
 
     if tile_ids is None:
         tile_ids, tile_counts = bin_gaussians_batch(
@@ -836,7 +838,7 @@ def rasterize_reference(means3D, scales, rotations, opacities, colors,
     cum = jnp.cumprod(1.0 - alpha, axis=1)
     T_before = jnp.concatenate([jnp.ones_like(cum[:, :1]), cum[:, :-1]], 1)
     w_c = alpha * T_before
-    w_c = jnp.where(T_before < T_MIN, 0.0, w_c)
+    w_c = jnp.where(T_before * (1.0 - alpha) < T_MIN, 0.0, w_c)
     color = (w_c[..., None] * col[None]).sum(1)
     depth = (w_c * dep[None]).sum(1)
     a_acc = w_c.sum(1)
