@@ -214,12 +214,18 @@ _FRAME_CHUNK = 32   # depth frames per Schur-assembly chunk
 
 
 def _pad_edges(x, Np):
-    """Pad (or truncate) a per-edge array to the plan's bucketed edge count."""
+    """Pad a per-edge array to the plan's bucketed edge count.
+
+    More rows than the plan has means the caller's target/weight are out
+    of sync with the (possibly filtered) edge list the plan was built
+    from — silent truncation would misalign every row, so fail loud."""
     n = x.shape[0]
+    if n > Np:
+        raise ValueError(
+            f"per-edge array has {n} rows but the plan is bucketed to "
+            f"{Np} — target/weight out of sync with the plan's edges")
     if n == Np:
         return x
-    if n > Np:
-        return x[:Np]
     return jnp.concatenate(
         [x, jnp.zeros((Np - n,) + x.shape[1:], x.dtype)], axis=0)
 
@@ -509,8 +515,10 @@ def _scale_shift_iteration(poses, disps, intrinsics, target, weight, eta,
     wk = wk * ev[:, None]
     kseg = jnp.where(plan.edge_valid, plan.kk, M)
     C_proj = jax.ops.segment_sum(Ck, kseg, num_segments=M + 1)[:-1]
-    # stage-2 sign convention: wk enters negated (geom/ba.py:197,216)
-    w_proj = jax.ops.segment_sum(-wk, kseg, num_segments=M + 1)[:-1]
+    # net sign matches stage-1: +Σwk per depth frame (the former
+    # segment_sum(-wk) was immediately re-negated at the rhs assembly —
+    # a confusing double negation)
+    w_proj = jax.ops.segment_sum(wk, kseg, num_segments=M + 1)[:-1]
 
     mono = mono_disps[plan.kx].reshape(M, HW)
     d_k = disps[plan.kx].reshape(M, HW)
@@ -535,8 +543,12 @@ def _scale_shift_iteration(poses, disps, intrinsics, target, weight, eta,
     u1 = -jnp.sum(J_q * r_d, -1)
 
     C = C_proj + J_d * J_d + eta.reshape(M, HW)
-    Q = 1.0 / C
-    w = -w_proj - J_d * r_d
+    # zero-coverage pixels (no incident edges, mono invalid, zero eta
+    # row) must yield dz=0 at THAT pixel — an unguarded 1/0 makes the
+    # frame's fin check mask out the whole frame's update (stage-1 has
+    # the same guard)
+    Q = jnp.where(C != 0, 1.0 / jnp.where(C != 0, C, 1.0), 0.0)
+    w = w_proj - J_d * r_d
 
     E0 = J_s * J_d                                # rows of E (2,HW) per k
     E1 = J_q * J_d
@@ -595,14 +607,6 @@ def ba_scale_shift(poses, disps, intrinsics, target, weight, eta,
     (P_all,h,w) bool (multiview-consistency mask at 1/8 res).
     Returns (disps, scales, shifts).
     """
-    H_img, W_img = disps.shape[-2:]
-    HW = H_img * W_img
-    M = plan.M
-    sqrt_a = jnp.sqrt(jnp.asarray(alpha, disps.dtype))
-
-    ii = jnp.where(plan.edge_valid, plan.ii, 0)
-    jj = jnp.where(plan.edge_valid, plan.jj, 0)
-
     def body(_, state):
         disps_i, scales_i, shifts_i = state
         return _scale_shift_iteration(
@@ -628,9 +632,14 @@ def align_scale_and_shift(prediction, target, weights):
     b0 = jnp.sum(w * prediction * target, axis=(-2, -1))
     b1 = jnp.sum(w * target, axis=(-2, -1))
     det = a00 * a11 - a01 * a01
-    scale = (a11 * b0 - a01 * b1) / det
-    shift = (-a01 * b0 + a00 * b1) / det
+    # degenerate masks (all-invalid frame, constant prediction) give
+    # det == 0; the reference zeroes scale/shift there (common.py:97-101)
+    # rather than emitting NaN into the tracker's scale/shift state
+    ok = det > 0
+    det_safe = jnp.where(ok, det, 1.0)
+    scale = jnp.where(ok, (a11 * b0 - a01 * b1) / det_safe, 0.0)
+    shift = jnp.where(ok, (-a01 * b0 + a00 * b1) / det_safe, 0.0)
     err = jnp.abs(scale[..., None, None] * prediction
                   + shift[..., None, None] - target)
-    avg_error = jnp.sum(err * w, axis=(-2, -1)) / a11
+    avg_error = jnp.sum(err * w, axis=(-2, -1)) / jnp.clip(a11, 1e-8)
     return scale, shift, avg_error

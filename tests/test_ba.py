@@ -206,6 +206,25 @@ def test_align_scale_and_shift_exact():
     np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-4)
 
 
+def test_align_scale_and_shift_degenerate_masks():
+    """Reference common.py:97-101 semantics: det <= 0 (all-invalid mask
+    or constant prediction) returns zeros, never NaN — NaN here would
+    poison the tracker's depth_scale/depth_shift state."""
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.rand(2, 6, 8).astype(np.float32) + 0.5)
+    target = 2.0 * pred + 0.1
+    # frame 0: all-invalid mask; frame 1: constant prediction
+    w = jnp.asarray(np.stack([np.zeros((6, 8)), np.ones((6, 8))])
+                    .astype(np.float32))
+    pred_c = pred.at[1].set(0.7)
+    s, t, e = ba.align_scale_and_shift(pred_c, target, w)
+    assert np.isfinite(np.asarray(s)).all()
+    assert np.isfinite(np.asarray(t)).all()
+    assert np.isfinite(np.asarray(e)).all()
+    np.testing.assert_allclose(np.asarray(s), 0.0)
+    np.testing.assert_allclose(np.asarray(t), 0.0)
+
+
 def test_schur_solve_matches_dense_solve():
     """chol.py:72-98 parity on a random PSD system."""
     rng = np.random.RandomState(3)
