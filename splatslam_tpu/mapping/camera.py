@@ -13,7 +13,6 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import lie
 
 # NOTE: the reference Camera also computes a Scharr `grad_mask`
 # (camera_utils.py:114-137), but nothing in Splat-SLAM consumes it — it
@@ -48,13 +47,14 @@ class Camera:
         w2c[:3, 3] = np.asarray(t)
         self.w2c = w2c
 
-    def apply_delta(self, tau):
-        """update_pose parity: w2c ← exp([rho, theta]) ∘ w2c, delta reset
-        (pose_utils.py:81-98)."""
-        dT = np.asarray(lie.to_matrix(lie.exp(jnp.asarray(tau))))
-        self.w2c = dT @ self.w2c
+    # NOTE: pose-delta retraction (update_pose parity) happens INSIDE
+    # map_step on device (mapper.py map_step opt_poses path) — a host
+    # apply_delta helper would cost a device round trip per call.
+
 
 def make_camera(uid, image, depth, w2c):
+    # w2c_gt gets its own COPY: aliasing the same ndarray would let any
+    # in-place w2c edit silently corrupt the tracker reference pose
     return Camera(uid=uid, image=jnp.asarray(image),
                   depth=jnp.asarray(depth) if depth is not None else None,
-                  w2c=np.asarray(w2c), w2c_gt=np.asarray(w2c))
+                  w2c=np.asarray(w2c), w2c_gt=np.array(w2c))

@@ -146,19 +146,23 @@ def deform_points_batch(st: G.GaussianState, frame_ids, w2c_new, w2c_old,
     d_old = depth_old[slot, vi, ui]
 
     rescale = 1.0 + (d_new - d_old) / z
-    bad = (d_new == 0) | (d_old == 0) | (rescale <= 0.0) | rig
+    # out-of-frustum / behind-camera points must move rigidly: the
+    # clamped (ui, vi) would otherwise read an unrelated border pixel's
+    # depth and drag the point along its ray by a bogus rescale
+    oob = ((cam_old[:, 2] <= 1e-6) | (u < 0) | (u > Wd - 1)
+           | (v < 0) | (v > Hd - 1))
+    bad = (d_new == 0) | (d_old == 0) | (rescale <= 0.0) | rig | oob
     rescale = jnp.where(bad, 1.0, rescale)
 
     cam_scaled = cam_old * rescale[:, None]
-    c2w_old = jax.vmap(jnp.linalg.inv)(w2c_old)           # (D,4,4)
-    Trel_d = jax.vmap(lambda wo, wn: jnp.linalg.inv(
-        jnp.linalg.inv(wo) @ wn))(w2c_old, w2c_new)
-    C2 = c2w_old[slot]
-    Trel = Trel_d[slot]
-    world_scaled = jnp.einsum("cij,cj->ci", C2[:, :3, :3], cam_scaled) \
-        + C2[:, :3, 3]
-    moved = jnp.einsum("cij,cj->ci", Trel[:, :3, :3], world_scaled) \
-        + Trel[:, :3, 3]
+    # ONE batched inverse: Trel @ (c2w_old @ x) == c2w_new @ x, and
+    # Trel itself is c2w_new @ w2c_old (the former nested-inverse form
+    # compounded inversion error and cost two extra 4x4 inverses/row)
+    c2w_new = jax.vmap(jnp.linalg.inv)(w2c_new)           # (D,4,4)
+    Trel_d = c2w_new @ w2c_old
+    Cn = c2w_new[slot]
+    moved = jnp.einsum("cij,cj->ci", Cn[:, :3, :3], cam_scaled) \
+        + Cn[:, :3, 3]
     new_xyz = jnp.where(found[:, None], moved, st.xyz)
 
     # rotate quaternions by each keyframe's relative transform (wxyz)

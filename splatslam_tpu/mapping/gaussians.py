@@ -139,7 +139,14 @@ def mean_sq_dist_3nn(points, valid):
     d2 = d2 + big * jnp.eye(n)
     d2 = jnp.where(valid[None, :], d2, big)
     neg_top4, _ = jax.lax.top_k(-d2, 3)
-    return jnp.mean(-neg_top4, axis=-1)
+    d3 = -neg_top4
+    # fewer than 3 valid neighbors: averaging the 1e12 sentinel in would
+    # give exp(~11) world-sized scales — average only real neighbors,
+    # fall back to a tiny scale when a point has none
+    ok = d3 < 0.5 * big
+    cnt = ok.sum(-1)
+    mean = jnp.sum(jnp.where(ok, d3, 0.0), -1) / jnp.clip(cnt, 1)
+    return jnp.where(cnt > 0, mean, 1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -189,16 +196,15 @@ def insert_points(st: GaussianState, new, kf_id):
     """Write anchored points into free slots (cat_tensors_to_optimizer
     equivalent: new slots start with zero Adam moments)."""
     C = st.xyz.shape[0]
-    free_rank = jnp.cumsum(~st.alive) - 1            # rank among free slots
-    slot_of_free = jnp.argsort(st.alive)             # free slots first? False<True
     # argsort(alive): False(0) sorts before True(1) → free slots first
+    slot_of_free = jnp.argsort(st.alive)
     n_new = new["valid"].shape[0]
     new_rank = jnp.cumsum(new["valid"]) - 1
     target = slot_of_free[jnp.clip(new_rank, 0, C - 1)]
     write = new["valid"] & (new_rank < jnp.sum(~st.alive))
     tgt = jnp.where(write, target, C)                # C = drop
 
-    def scat(arr, vals, fill=None):
+    def scat(arr, vals):
         pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
         out = jnp.concatenate([arr, pad], 0)
         out = out.at[tgt].set(vals.astype(arr.dtype), mode="drop")
@@ -289,11 +295,14 @@ def adam_step(st: GaussianState, grads: dict, lrs: dict, step: jnp.ndarray,
 
 
 def xyz_lr(step, lr_init, lr_final, lr_delay_mult, max_steps):
-    """Exponential xyz schedule (reference general_utils helper)."""
+    """Exponential xyz schedule (reference general_utils
+    get_expon_lr_func). The reference only applies the sin delay ramp
+    when lr_delay_steps > 0 — the mapper never sets delay steps, so
+    delay_rate is 1.0 (the former always-on ramp suppressed the xyz lr
+    for the first 1% of max_steps, covering most of map init)."""
+    del lr_delay_mult  # kept for signature parity; unused at delay_steps=0
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
-        0.5 * jnp.pi * jnp.clip(step / max(max_steps * 0.01, 1), 0, 1))
-    return delay * jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    return jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
 
 
 # ---------------------------------------------------------------------------
@@ -311,21 +320,8 @@ def _zero_moments(st, slots_mask):
     return dataclasses.replace(st, **upd)
 
 
-@jax.jit
-def add_densification_stats(st: GaussianState, means2d_grad, update_filter):
-    g = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
-    return dataclasses.replace(
-        st,
-        grad_accum=st.grad_accum + jnp.where(update_filter, g, 0.0),
-        denom=st.denom + update_filter.astype(jnp.float32))
 
 
-@jax.jit
-def update_max_radii(st: GaussianState, radii, visibility):
-    return dataclasses.replace(
-        st, max_radii2D=jnp.where(visibility,
-                                  jnp.maximum(st.max_radii2D, radii),
-                                  st.max_radii2D))
 
 
 @partial(jax.jit, static_argnames=("N",))
@@ -435,8 +431,11 @@ def densify_and_prune(st: GaussianState, rng, max_grad, min_opacity, extent,
 
 @jax.jit
 def reset_opacity(st: GaussianState, value=0.01):
-    """Reset ALL opacities to `value` (gaussian_model.py:382-385)."""
-    new_o = jnp.full_like(st.opacity, float(np.log(value / (1 - value))))
+    """Reset opacities to min(opacity, `value`) (gaussian_model.py
+    reset_opacity: inverse_sigmoid(min(get_opacity, 0.01)) — it never
+    RAISES an opacity, so near-transparent floaters stay prunable)."""
+    cap = float(np.log(value / (1 - value)))    # logit of `value`
+    new_o = jnp.minimum(st.opacity, cap)
     st = dataclasses.replace(st, opacity=new_o)
     return _zero_moments_only(st, "opacity")
 
@@ -475,7 +474,11 @@ def save_ply(st: GaussianState, path: str):
     xyz = np.asarray(st.xyz)[alive]
     n = xyz.shape[0]
     f_dc = np.asarray(st.f_dc)[alive]
-    f_rest = np.asarray(st.f_rest)[alive].reshape(n, st.f_rest.shape[1] * 3)
+    # channel-major flattening (n, 3, R) → f_rest_k with k = c*R + r:
+    # the reference PLY layout and load_ply both expect it; row-major
+    # flattening scrambled SH coefficients across channels for R > 0
+    f_rest = np.asarray(st.f_rest)[alive].transpose(0, 2, 1).reshape(
+        n, st.f_rest.shape[1] * 3)
     opa = np.asarray(st.opacity)[alive]
     scal = np.asarray(st.scaling)[alive]
     rot = np.asarray(st.rotation)[alive]

@@ -338,6 +338,34 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_ply_roundtrip_sh_degree1(tmp_path):
+    """f_rest must survive a save->load round trip channel-major (the
+    reference PLY layout): a row-major flatten scrambles SH coefficients
+    across channels for R > 0."""
+    import dataclasses
+    st = G.make_state(16, sh_degree=1)
+    n = 4
+    rng = jax.random.PRNGKey(3)
+    new = dict(xyz=jax.random.normal(rng, (n, 3)),
+               color=jax.random.uniform(rng, (n, 3)),
+               scales=jax.random.normal(rng, (n, 3)) * 0.1,
+               valid=jnp.ones(n, bool), count=jnp.asarray(n))
+    st = G.insert_points(st, new, 0)
+    fr = jax.random.normal(jax.random.fold_in(rng, 1), (16, 3, 3))
+    st = dataclasses.replace(st, f_rest=fr)
+    path = str(tmp_path / "g_sh.ply")
+    G.save_ply(st, path)
+    st2 = G.load_ply(path, sh_degree=1) if "sh_degree" in \
+        G.load_ply.__code__.co_varnames else G.load_ply(path)
+    alive = np.asarray(st.alive)
+    order = np.argsort(np.asarray(st.xyz)[alive][:, 0])
+    alive2 = np.asarray(st2.alive)
+    order2 = np.argsort(np.asarray(st2.xyz)[alive2][:, 0])
+    np.testing.assert_allclose(
+        np.asarray(st.f_rest)[alive][order],
+        np.asarray(st2.f_rest)[alive2][order2], atol=1e-6)
+
+
 def test_map_step_n_per_step_cams_matches_hand_loop():
     """per_step_cams=True (the fused faithful final_refine schedule —
     one random frame per optimizer step, reference mapper.py:656-708)
