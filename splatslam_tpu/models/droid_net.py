@@ -94,7 +94,6 @@ class ConvGRU(nn.Module):
     def __call__(self, net, inp):
         hp = self.h_planes
         net_inp = jnp.concatenate([net, inp], axis=-1)
-        b = net.shape[0]
 
         glo = nn.sigmoid(nn.Conv(hp, (1, 1), dtype=self.dtype, name="w")(net)) * net
         glo = glo.mean(axis=(1, 2), keepdims=True)     # (B,1,1,C)
@@ -128,7 +127,6 @@ class GraphAgg(nn.Module):
         # index scatter cliff, docs/TPU_PERF_NOTES.md) — the (M,N) one-hot
         # matmul form is ~100x cheaper and exact (counts in fp32: bf16
         # cannot represent integers above 256 exactly)
-        N = net.shape[0]
         onehot = (ix[None, :] == jnp.arange(num_kf)[:, None]).astype(
             jnp.float32)                                   # (M, N)
         s = jnp.einsum("mn,nhwc->mhwc", onehot,

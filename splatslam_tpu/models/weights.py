@@ -120,6 +120,13 @@ def load_droid_params(path: str):
         import torch
         sd = torch.load(path, map_location="cpu")
         return torch_state_to_params(sd)
+    if path:
+        # fail LOUD on a configured-but-missing path: silently falling
+        # back to other weights turns a config typo into garbage
+        # tracking with nothing in the log
+        print(f"[weights] WARNING: tracking.pretrained={path!r} does "
+              "not exist — falling back to in-repo checkpoints",
+              flush=True)
     # fall back to a self-trained checkpoint: prefer the stage-2 net
     # (trained THROUGH the differentiable BA layer, train_dba) over the
     # flow-only stage-1 net
@@ -129,5 +136,8 @@ def load_droid_params(path: str):
             from flax import serialization
             template = init_params()
             with open(alt, "rb") as f:
+                print(f"[weights] loading {alt}", flush=True)
                 return serialization.from_bytes(template, f.read())
+    print("[weights] WARNING: no checkpoint found — RANDOM tracker "
+          "weights (oracle mode unaffected)", flush=True)
     return init_params()

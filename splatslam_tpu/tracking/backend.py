@@ -42,7 +42,7 @@ class Backend:
         graph.update_lowmem(
             t0=t_start_loop + 1,   # fix the loop start to anchor drift
             t1=t_end, itrs=2, use_inactive=False, steps=steps,
-            enable_wq=enable_wq)
+            enable_wq=enable_wq, motion_only=motion_only)
         graph.clear_edges()
         return edge_num
 

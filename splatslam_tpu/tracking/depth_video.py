@@ -68,7 +68,6 @@ class VideoState:
     fmaps: jnp.ndarray          # (B, h, w, 128) bf16 — correlation features
     nets: jnp.ndarray           # (B, h, w, 128) f32 — GRU hidden seed
     inps: jnp.ndarray           # (B, h, w, 128) f32 — context features
-    damping: jnp.ndarray        # (B, h, w) f32 — GraphAgg eta per keyframe
     gt_poses: jnp.ndarray       # (B, 7) f32 — GT w2c (oracle/eval only)
     gt_disps: jnp.ndarray       # (B, h, w) f32 — GT disparity (oracle only)
 
@@ -90,7 +89,6 @@ def make_video_state(buffer: int, H: int, W: int, down: int = 8) -> VideoState:
         fmaps=jnp.zeros((buffer, h, w, 128), jnp.bfloat16),
         nets=jnp.zeros((buffer, h, w, 128), jnp.float32),
         inps=jnp.zeros((buffer, h, w, 128), jnp.float32),
-        damping=1e-6 * jnp.ones((buffer, h, w), jnp.float32),
         gt_poses=lie.identity((buffer,)),
         gt_disps=jnp.ones((buffer, h, w), jnp.float32),
     )
@@ -363,11 +361,18 @@ class DepthVideo:
             jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32))
         return coords[:n], valid[:n]
 
-    def distance(self, ii=None, jj=None, beta=0.3, bidirectional=True):
-        """Frame distance metric (depth_video.py:180-210)."""
+    def distance(self, ii=None, jj=None, beta=0.3, bidirectional=False):
+        """Frame distance metric (depth_video.py:180-210).
+
+        The bidirectional default matches the reference: edge proposal
+        wants the DIRECTED d(i,j) (and one kernel launch); the
+        frontend's keyframe-cull check passes bidirectional=True
+        explicitly."""
         return_matrix = ii is None
         if return_matrix:
             N = self.counter
+            if N == 0:
+                return np.zeros((0, 0), np.float32)
             ii, jj = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
         ii_p, n = _pad_idx(np.asarray(ii))
         jj_p, _ = _pad_idx(np.asarray(jj))
@@ -385,7 +390,8 @@ class DepthVideo:
                                       intr, ii_j, jj_j, beta)
         d = np.asarray(d)[:n]
         if return_matrix:
-            return d.reshape(int(np.sqrt(n)), -1)
+            N = self.counter
+            return d.reshape(N, N)
         return d
 
     def get_nets(self, ii):
@@ -506,7 +512,6 @@ class DepthVideo:
                 return False
             plan2 = ba_ops.make_edge_plan(ii_t, jj_t, int(t0), int(t1))
             eta2 = jnp.zeros((plan2.M, h, w), jnp.float32)
-            uniq = np.unique(ii_t)
             if eta_rows is not None:
                 uniq_all = np.unique(ii_np)
                 lut = {int(f): r for r, f in enumerate(uniq_all)}

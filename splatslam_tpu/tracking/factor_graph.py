@@ -833,10 +833,18 @@ class FactorGraph:
         self.age += rounds
 
     def update_lowmem(self, t0=None, t1=None, itrs=2, use_inactive=False,
-                      EP=1e-7, steps=8, enable_wq=True):
+                      EP=1e-7, steps=8, enable_wq=True,
+                      motion_only=False):
         """Global-BA update loop (factor_graph.py:273-323). The reference
         alternates sub-batched GRU sweeps with BA; here all `steps` rounds
-        fuse into one device program (update_rounds)."""
+        fuse into one device program (update_rounds). motion_only routes
+        to the fused MoBA rounds (poses only — loop_ba's motion_only
+        request used to be silently ignored)."""
+        if motion_only:
+            if t1 is None:
+                t1 = self.video.counter
+            self.update_rounds_motion_only(steps, t0 or 0, t1)
+            return
         opt_types = tuple(
             "pose_depth" if (step % 2 == 0 or not enable_wq)
             else "depth_scale" for step in range(steps))

@@ -24,7 +24,6 @@ def _disp8_np(depth, down, h, w):
     """Host-side 1/8 subsample of a full-res depth map → disparity.
     Keeps the per-frame host→device upload at ~5 KB instead of ~300 KB
     (the tunnel link is the bottleneck, not compute)."""
-    import numpy as np
     off = down // 2 - 1
     d = np.asarray(depth)[off::down, off::down][:h, :w]
     return np.where(d > 1e-6, 1.0 / np.maximum(d, 1e-6), 0.0).astype(
@@ -206,14 +205,24 @@ class MotionFilter:
                 tstamp, _img255(image), lie.identity(), 1.0, mono, intr8,
                 gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_disp8)
             if self.oracle and gt_pose is not None:
-                self._last_gt = (np.asarray(gt_pose), gt_disp8)
+                d0 = gt_disp8 if gt_disp8 is not None else \
+                    np.ones((h8, w8), np.float32)
+                self._last_gt = (np.asarray(gt_pose), d0)
             return True
 
         if self.oracle and gt_pose is not None and self._last_gt is not None:
             with T("mf.oracle_flow"):
                 delta, disp = self._oracle_flow(gt_pose, gt_disp8, intr8)
-        else:
+        elif delta_mag is not None:
             delta = float(delta_mag)
+            disp = None
+        else:
+            # oracle mode with no GT signal for this frame (missing
+            # gt_pose, or the previous keyframe had none): no flow
+            # estimate exists — admit the frame rather than crash, the
+            # conservative choice (extra keyframes cost time, skipped
+            # ones lose track)
+            delta = float("inf")
             disp = None
         if delta > self.thresh:
             self.count = 0
@@ -231,7 +240,9 @@ class MotionFilter:
                     tstamp, _img255(image), None, None, mono, intr8,
                     gmap, net, inp, gt_pose=gt_pose, gt_depth=gt_disp8)
             if self.oracle and gt_pose is not None:
-                self._last_gt = (np.asarray(gt_pose), disp)
+                d1 = disp if disp is not None else \
+                    np.ones((h8, w8), np.float32)
+                self._last_gt = (np.asarray(gt_pose), d1)
             return True
         self.count += 1
         return False
