@@ -47,17 +47,3 @@ def save_config(cfg: dict, path: str) -> None:
         yaml.dump(cfg, f)
 
 
-def update_cam(cfg: dict):
-    """Rescale intrinsics for resize + edge crop (common.py:43-64)."""
-    H, W = cfg["cam"]["H"], cfg["cam"]["W"]
-    fx, fy = cfg["cam"]["fx"], cfg["cam"]["fy"]
-    cx, cy = cfg["cam"]["cx"], cfg["cam"]["cy"]
-    h_edge, w_edge = cfg["cam"]["H_edge"], cfg["cam"]["W_edge"]
-    H_out, W_out = cfg["cam"]["H_out"], cfg["cam"]["W_out"]
-    fx = fx * (W_out + w_edge * 2) / W
-    fy = fy * (H_out + h_edge * 2) / H
-    cx = cx * (W_out + w_edge * 2) / W
-    cy = cy * (H_out + h_edge * 2) / H
-    cx = cx - w_edge
-    cy = cy - h_edge
-    return H_out, W_out, fx, fy, cx, cy

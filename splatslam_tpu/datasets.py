@@ -23,11 +23,6 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
-def load_mono_depth(idx, path):
-    """Load a precomputed omnidata depth map (datasets.py:60-66)."""
-    return np.load(f"{path}/mono_priors/depths/{idx:05d}.npy")
-
-
 def get_dataset(cfg):
     return dataset_dict[cfg["dataset"]](cfg)
 
@@ -89,6 +84,9 @@ class BaseDataset:
             return None
         path = self.depth_paths[index]
         depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if depth is None:
+            raise FileNotFoundError(
+                f"depth image unreadable: {path!r} (frame {index})")
         return depth.astype(np.float32) / self.png_depth_scale
 
     def __getitem__(self, index):
@@ -115,6 +113,14 @@ class BaseDataset:
         pose = (self.poses[index].astype(np.float32)
                 if self.poses is not None else None)
         return index, np.ascontiguousarray(color), depth, pose
+
+    def get_gt_pose(self, index):
+        """GT c2w WITHOUT decoding the frame's images — trajectory eval
+        iterates every frame and only needs the pose (a full __getitem__
+        per frame costs two image decodes + undistort + resize)."""
+        if self.poses is None:
+            return None
+        return self.poses[index].astype(np.float32)
 
 
 class Replica(BaseDataset):
@@ -340,15 +346,21 @@ class Synthetic(BaseDataset):
         return img, dep
 
     def __getitem__(self, index):
-        # frames are procedural + deterministic; cache them (each frame is
-        # read ~3x: tracking, mapper load, eval)
+        # frames are procedural + deterministic; LRU-cache them (each
+        # frame is read ~3x: tracking, mapper load, eval). Bounded — an
+        # unbounded dict held ~6.5 MB/frame for the process lifetime.
         cached = getattr(self, "_frame_cache", None)
         if cached is None:
-            cached = self._frame_cache = {}
-        if index not in cached:
+            from collections import OrderedDict
+            cached = self._frame_cache = OrderedDict()
+        if index in cached:
+            cached.move_to_end(index)
+        else:
             c2w = self.poses[index]
             img, dep = self._render(c2w)
             cached[index] = (img, dep, c2w.astype(np.float32))
+            while len(cached) > 64:
+                cached.popitem(last=False)
         img, dep, c2w = cached[index]
         return index, img, dep, c2w
 

@@ -42,6 +42,26 @@ class MonoDepthProvider:
             self._dpt = DPTDepthPredictor(
                 mp.get("depth_pretrained", "pretrained/omnidata_dpt_depth_v2.ckpt"))
         self._cache: dict[int, np.ndarray] = {}
+        # stale-cache guard: .npy files written by a PREVIOUS run with a
+        # different provider must not be silently reused ("files" mode
+        # excepted — there the files ARE the input)
+        self._use_disk = True
+        if self.kind not in ("files", "none"):
+            marker = os.path.join(self.save_dir, "mono_priors", "depths",
+                                  ".provider")
+            prev = None
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    prev = f.read().strip()
+            if prev is not None and prev != self.kind:
+                print(f"[mono_prior] cached depths were produced by "
+                      f"provider={prev!r}; recomputing with "
+                      f"{self.kind!r}", flush=True)
+                self._use_disk = False
+            if self.save:
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                with open(marker, "w") as f:
+                    f.write(self.kind)
 
     def _path(self, idx):
         return os.path.join(self.save_dir, "mono_priors", "depths",
@@ -54,7 +74,7 @@ class MonoDepthProvider:
         if idx in self._cache:
             return self._cache[idx]
         p = self._path(idx)
-        if os.path.exists(p):
+        if self._use_disk and os.path.exists(p):
             d = np.load(p)
         elif self.kind == "files":
             raise FileNotFoundError(
@@ -78,9 +98,9 @@ class MonoDepthProvider:
             d = self._dpt(np.asarray(color))
         else:
             raise ValueError(self.kind)
-        if self.save and not os.path.exists(p):
+        if self.save and (not self._use_disk or not os.path.exists(p)):
             os.makedirs(os.path.dirname(p), exist_ok=True)
-            np.save(p, d)
+            np.save(p, d)   # overwrites stale other-provider files
         self._cache[idx] = d
         if len(self._cache) > 64:
             self._cache.pop(next(iter(self._cache)))

@@ -14,7 +14,6 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-from .config import update_cam
 from .datasets import get_dataset
 from .models import load_droid_params
 from .mono_prior import MonoDepthProvider
@@ -76,7 +75,6 @@ class SLAM:
         # link the first d2h fetch of a process pays a large one-time
         # session-establishment cost (measured 100-250 s) — without this
         # it lands on the first tracking sync point mid-run.
-        import jax
         np.asarray(jnp.zeros(8) + 1.0)
 
     # -- main loop (tracker.py:47-92 + mapper pipe protocol) ----------------
@@ -102,9 +100,13 @@ class SLAM:
                         from .ops import lie
                         # host-side: the 7-vec feeds per-frame host logic
                         # (oracle admission) — a device round trip per
-                        # frame would dominate tracking
-                        gt_pose = lie.from_matrix_np(
-                            np.linalg.inv(np.asarray(gt_c2w)))
+                        # frame would dominate tracking. Non-finite GT
+                        # (ScanNet marks untracked frames with -inf)
+                        # degrades to the no-GT admission path.
+                        gt_np = np.asarray(gt_c2w)
+                        if np.isfinite(gt_np).all():
+                            gt_pose = lie.from_matrix_np(
+                                np.linalg.inv(gt_np))
                 with T("motion_filter"):
                     # uint8 upload: 4x less traffic over the device link
                     img_u8 = jnp.asarray(

@@ -59,8 +59,11 @@ def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
                      for _, c in cams)
     lo = centers.min(0) - depths_max
     hi = centers.max(0) + depths_max
-    vol = TSDFVolume(lo, hi, voxel=voxel * max(global_scale, 1e-6),
-                     trunc=trunc * max(global_scale, 1e-6), max_dim=256)
+    # voxel/trunc are PHYSICAL meters; the map lives in estimate units
+    # where 1 est-unit = global_scale meters → divide (multiplying gave
+    # a scale²-too-coarse grid after verts are re-scaled below)
+    s = max(global_scale, 1e-6)
+    vol = TSDFVolume(lo, hi, voxel=voxel / s, trunc=trunc / s, max_dim=256)
     intr = np.asarray(mapper.intrinsics)
     CH = 8
     for c0 in range(0, len(cams), CH):
@@ -174,7 +177,14 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
 
         need_host_images = save_panels or lpips_fn is not None
         img_np = np.asarray(images) if need_host_images else None
-        dep_np = np.asarray(out.depth) * global_scale   # depth-L1 on host
+        # alpha-normalized rendered depth (consistent with eval_mesh):
+        # the raw accumulation sum(w_i d_i) understates depth wherever
+        # coverage alpha < 1
+        a_np = np.asarray(out.alpha)
+        dep_np = np.where(
+            a_np > 0.5,
+            np.asarray(out.depth) / np.clip(a_np, 1e-6, None),
+            0.0) * global_scale
 
         for i, (kf_idx, frame_idx) in enumerate(chunk):
             gt_color, gt_depth = gts[i][1], gts[i][2]

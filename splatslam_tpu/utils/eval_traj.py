@@ -86,8 +86,12 @@ def plot_trajectory(aligned_xyz, gt_xyz, path, title=""):
 
 def _gt_c2w_list(stream, timestamps):
     poses, keep = [], []
+    # get_gt_pose skips the per-frame image decode (a full stream[i]
+    # costs two cv2.imread + undistort + resize PER FRAME — minutes of
+    # pure IO on a 2000-frame sequence just to read poses)
+    get = getattr(stream, "get_gt_pose", None)
     for i, ts in enumerate(timestamps):
-        pose = stream[int(ts)][3]
+        pose = get(int(ts)) if get is not None else stream[int(ts)][3]
         if pose is None or not np.isfinite(pose).all():
             continue  # NaN GT poses skipped (eval_traj.py:31-33)
         poses.append(np.asarray(pose, np.float64))

@@ -15,16 +15,15 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 
 # ---------------------------------------------------------------------------
 # TSDF fusion
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("chunk",))
+@jax.jit
 def _integrate_frame(tsdf, weight, color_vol, origin, voxel, trunc,
-                     depth, color, w2c, intrinsics, chunk=1):
+                     depth, color, w2c, intrinsics):
     """Integrate one RGBD frame into the dense TSDF grid."""
     nx, ny, nz = tsdf.shape
     fx, fy, cx, cy = intrinsics
