@@ -119,8 +119,8 @@ def _lane_mask(gid):
     return (lane == jnp.mod(gid, LANES)).astype(jnp.float32)
 
 
-def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
-                ntx, n_cam_tiles, K, want_touched, TB):
+def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
+                *, ntx, n_cam_tiles, K, want_touched, TB):
     b = pl.program_id(0)
     tb = pl.program_id(1)
 
@@ -180,7 +180,12 @@ def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
                     masks = ((lanes == jnp.mod(gid_i32, LANES))
                              & (gid_i32 >= 0)).astype(jnp.float32)
                     for i in range(CH):
-                        blk = jnp.maximum(gid[i, 0].astype(jnp.int32),
+                        # accumulator block index from the SMEM ids
+                        # mirror: a static scalar load, vs extracting
+                        # gid[i, 0] from a vector register (a
+                        # vector→scalar move is the hot-loop tax — see
+                        # the bwd kernel's accumulate note)
+                        blk = jnp.maximum(ids_ref[j, 0, c0 + i],
                                           0) // LANES
                         upd = touched[i:i + 1, :] * masks[i:i + 1, :]
                         ntouch_ref[0, blk, 0:1, :] = \
@@ -192,8 +197,8 @@ def _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref, *,
         out_ref[j, 5:8, :] = jnp.zeros((3, P), jnp.float32)
 
 
-def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
-                ntx, n_cam_tiles, K, TB):
+def _bwd_kernel(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
+                st_ref, *, ntx, n_cam_tiles, K, TB):
     b = pl.program_id(0)
     tb = pl.program_id(1)
 
@@ -202,13 +207,13 @@ def _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for j in range(TB):
-        _bwd_tile(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref,
-                  b=b, tt=tb * TB + j, j=j, ntx=ntx,
+        _bwd_tile(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
+                  st_ref, b=b, tt=tb * TB + j, j=j, ntx=ntx,
                   n_cam_tiles=n_cam_tiles, K=K)
 
 
-def _bwd_tile(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
-              b, tt, j, ntx, n_cam_tiles, K):
+def _bwd_tile(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
+              st_ref, *, b, tt, j, ntx, n_cam_tiles, K):
     t = b * n_cam_tiles + tt
     count = jnp.minimum(counts_ref[t], K)
     px, py = _pix_coords(tt, ntx)
@@ -281,7 +286,10 @@ def _bwd_tile(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref, *,
             masks = ((lanes == jnp.mod(gid_i32, LANES)) & (gid_i32 >= 0)
                      ).astype(jnp.float32)
             for i in range(CH):
-                blk = jnp.maximum(gid[i, 0].astype(jnp.int32), 0) // LANES
+                # block index via the SMEM ids mirror (static scalar
+                # load) instead of gid[i, 0] (vector→scalar move —
+                # measured ~2× the whole RMW's cost per entry)
+                blk = jnp.maximum(ids_ref[j, 0, c0 + i], 0) // LANES
                 upd = rowsT[:, i:i + 1] * masks[i:i + 1, :]
                 acc_ref[0, blk] = acc_ref[0, blk] + upd
             st_ref[4:5, :] = trans * cum[-1:]
@@ -296,10 +304,12 @@ def _tiles_per_block(n_cam_tiles: int) -> int:
     return 1
 
 
-def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
+def composite_fwd_pallas(counts, tl_T, ids, B, n_cam_tiles, ntx, n_rows,
                          interpret=False, want_touched=True):
     """counts (B·T,) int32; tl_T (B·T, 16, K) f32 with per-camera
-    Gaussian ids in row 10 (float, −1 padding).
+    Gaussian ids in row 10 (float, −1 padding); ids (B·T, 1, K) int32 —
+    the same ids as an SMEM mirror (per-entry accumulator block indices
+    come from cheap scalar loads instead of vector extracts).
     Returns out (B·T, 8, P) [color3, depth, alpha, 0…] and
     n_touched (B, n_rows//128, 8, 128) f32 (row 0 holds the counts;
     a (B, 1, 8, 128) zero dummy when want_touched=False — the per-entry
@@ -315,6 +325,10 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
                          lambda b, t, *_: (
                              (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, K),
+                         lambda b, t, *_: (
+                             (b * n_cam_tiles) // TB + t, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, 8, P),
@@ -327,9 +341,9 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
         scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
     )
 
-    def kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref):
-        _fwd_kernel(counts_ref, tl_ref, out_ref, ntouch_ref, st_ref,
-                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K,
+    def kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref):
+        _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref,
+                    st_ref, ntx=ntx, n_cam_tiles=n_cam_tiles, K=K,
                     want_touched=want_touched, TB=TB)
 
     out, ntouch = pl.pallas_call(
@@ -340,16 +354,18 @@ def composite_fwd_pallas(counts, tl_T, B, n_cam_tiles, ntx, n_rows,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(counts, tl_T)
+    )(counts, tl_T, ids)
     return out, ntouch
 
 
-def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
-                         n_rows, interpret=False):
+def composite_bwd_pallas(counts, tl_T, ids, gpack, fwdout, B, n_cam_tiles,
+                         ntx, n_rows, interpret=False):
     """Gradient accumulation kernel.
 
     counts (B·T,) int32; tl_T (B·T,16,K) with ids in row 10;
-    gpack (B·T, 8, P) rows = [g_color(3), g_depth, g_alpha, 0…];
+    ids (B·T, 1, K) int32 SMEM mirror of the ids (see
+    composite_fwd_pallas); gpack (B·T, 8, P) rows = [g_color(3),
+    g_depth, g_alpha, 0…];
     fwdout (B·T, 8, P) the forward kernel's output rows (pre-background
     color 3, depth, alpha) — supplies T_final and Σwᵢsᵢ without a
     recompute sweep.
@@ -371,6 +387,10 @@ def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
                          lambda b, t, *_: (
                              (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, K),
+                         lambda b, t, *_: (
+                             (b * n_cam_tiles) // TB + t, 0, 0),
+                         memory_space=pltpu.SMEM),
             tile_spec,
             tile_spec,
         ],
@@ -380,9 +400,10 @@ def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
         scratch_shapes=[pltpu.VMEM((8, P), jnp.float32)],
     )
 
-    def kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref):
-        _bwd_kernel(counts_ref, tl_ref, gp_ref, fo_ref, acc_ref, st_ref,
-                    ntx=ntx, n_cam_tiles=n_cam_tiles, K=K, TB=TB)
+    def kernel(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
+               st_ref):
+        _bwd_kernel(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
+                    st_ref, ntx=ntx, n_cam_tiles=n_cam_tiles, K=K, TB=TB)
 
     acc = pl.pallas_call(
         kernel,
@@ -391,5 +412,5 @@ def composite_bwd_pallas(counts, tl_T, gpack, fwdout, B, n_cam_tiles, ntx,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(counts, tl_T, gpack, fwdout)
+    )(counts, tl_T, ids, gpack, fwdout)
     return acc

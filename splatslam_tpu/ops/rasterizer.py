@@ -516,7 +516,10 @@ def _pallas_ok(n_rows: int) -> bool:
 
 def _pallas_prep(tile_ids, counts, packets):
     """Gather per-camera packets into the (B·T, 16, K) tile-list layout
-    (row 10 carries the per-camera Gaussian id as float, −1 padding)."""
+    (row 10 carries the per-camera Gaussian id as float, −1 padding).
+    Also returns the ids as a (B·T, 1, K) int32 SMEM mirror — the
+    kernels' per-entry accumulate reads its block index from SMEM
+    scalars instead of extracting lane 0 of a vector register."""
     B, T, K = tile_ids.shape
     N = packets.shape[1]
     packets_pad = jnp.concatenate(
@@ -529,7 +532,8 @@ def _pallas_prep(tile_ids, counts, packets):
     tl_T = jnp.concatenate(
         [tl, ids_f, jnp.zeros((B * T, K, 5), tl.dtype)],
         -1).transpose(0, 2, 1)
-    return tl_T, counts.reshape(B * T).astype(jnp.int32)
+    ids_smem = tile_ids.reshape(B * T, 1, K).astype(jnp.int32)
+    return tl_T, ids_smem, counts.reshape(B * T).astype(jnp.int32)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -547,9 +551,9 @@ def _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles, want_touched):
     from . import raster_pallas as rp
     B, T, K = tile_ids.shape
     N = packets.shape[1]
-    tl_T, counts_flat = _pallas_prep(tile_ids, counts, packets)
+    tl_T, ids_smem, counts_flat = _pallas_prep(tile_ids, counts, packets)
     out, ntouch = rp.composite_fwd_pallas(
-        counts_flat, tl_T, B, n_cam_tiles, ntx, N,
+        counts_flat, tl_T, ids_smem, B, n_cam_tiles, ntx, N,
         want_touched=want_touched)
     if want_touched:
         nt = ntouch[:, :, 0, :].reshape(B, N).astype(jnp.int32)
@@ -559,12 +563,12 @@ def _ctp_fwd(tile_ids, counts, packets, ntx, n_cam_tiles, want_touched):
             out[:, 4, :], nt)
     # `out` rides into the bwd kernel: it supplies T_final and Σwᵢsᵢ,
     # replacing a full recompute sweep over the tile lists
-    return outs, (tl_T, counts_flat, out, B, N)
+    return outs, (tl_T, ids_smem, counts_flat, out, B, N)
 
 
 def _ctp_bwd(ntx, n_cam_tiles, want_touched, res, cts):
     from . import raster_pallas as rp
-    tl_T, counts_flat, fwdout, B, N = res
+    tl_T, ids_smem, counts_flat, fwdout, B, N = res
     g_color, g_depth, g_alpha, _ = cts
     BT = tl_T.shape[0]
     Pp = g_color.shape[1]
@@ -572,7 +576,8 @@ def _ctp_bwd(ntx, n_cam_tiles, want_touched, res, cts):
         [g_color.transpose(0, 2, 1), g_depth[:, None, :],
          g_alpha[:, None, :], jnp.zeros((BT, 3, Pp), g_color.dtype)], 1)
     acc = rp.composite_bwd_pallas(
-        counts_flat, tl_T, gpack, fwdout, B, n_cam_tiles, ntx, N)
+        counts_flat, tl_T, ids_smem, gpack, fwdout, B, n_cam_tiles,
+        ntx, N)
     # (B, N/128, 16, 128) blocked → (B, N, 10)
     acc = acc.transpose(0, 2, 1, 3).reshape(B, 16, N)
     grad_packets = acc[:, :10, :].transpose(0, 2, 1)

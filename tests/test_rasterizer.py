@@ -275,9 +275,10 @@ def test_pallas_composite_matches_xla_interpret(ntx, nty):
                                num_segments=B * N + 1)[:-1].reshape(B, N)
 
     # Pallas interpret-mode forward
-    tl_T, counts_flat = rz._pallas_prep(tile_ids, counts, packets)
+    tl_T, ids_smem, counts_flat = rz._pallas_prep(tile_ids, counts,
+                                                  packets)
     out, ntouch = rp.composite_fwd_pallas(
-        counts_flat, tl_T, B, T, ntx, N, interpret=True)
+        counts_flat, tl_T, ids_smem, B, T, ntx, N, interpret=True)
     np.testing.assert_allclose(np.asarray(out[:, 0:3, :].transpose(0, 2, 1)),
                                np.asarray(c_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[:, 3, :]), np.asarray(d_r),
@@ -290,7 +291,7 @@ def test_pallas_composite_matches_xla_interpret(ntx, nty):
     # want_touched=False: same image outputs, dummy touch buffer, and the
     # per-entry accumulation loop statically skipped
     out_nt, ntouch_nt = rp.composite_fwd_pallas(
-        counts_flat, tl_T, B, T, ntx, N, interpret=True,
+        counts_flat, tl_T, ids_smem, B, T, ntx, N, interpret=True,
         want_touched=False)
     np.testing.assert_allclose(np.asarray(out_nt), np.asarray(out),
                                atol=1e-6)
@@ -302,7 +303,8 @@ def test_pallas_composite_matches_xla_interpret(ntx, nty):
         [cts[0].transpose(0, 2, 1), cts[1][:, None, :],
          cts[2][:, None, :], jnp.zeros((B * T, 3, 256))], 1)
     acc = rp.composite_bwd_pallas(
-        counts_flat, tl_T, gpack, out, B, T, ntx, N, interpret=True)
+        counts_flat, tl_T, ids_smem, gpack, out, B, T, ntx, N,
+        interpret=True)
     acc = acc.transpose(0, 2, 1, 3).reshape(B, 16, N)
     g_pal = acc[:, :10, :].transpose(0, 2, 1)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),

@@ -110,22 +110,23 @@ def main():
     # 3. prep gather
     prep = jax.jit(rz._pallas_prep)
     results["prep_ms"] = timeit(prep, tile_ids, tile_counts, packets) * 1e3
-    tl_T, counts_flat = prep(tile_ids, tile_counts, packets)
+    tl_T, ids_smem, counts_flat = prep(tile_ids, tile_counts, packets)
 
     # 4/5. pallas fwd / bwd kernels
     fwd_k = jax.jit(partial(rp.composite_fwd_pallas, B=B, n_cam_tiles=T,
                             ntx=ntx, n_rows=C))
-    results["pallas_fwd_ms"] = timeit(fwd_k, counts_flat, tl_T) * 1e3
+    results["pallas_fwd_ms"] = timeit(fwd_k, counts_flat, tl_T,
+                                      ids_smem) * 1e3
     fwd_nt = jax.jit(partial(rp.composite_fwd_pallas, B=B, n_cam_tiles=T,
                              ntx=ntx, n_rows=C, want_touched=False))
     results["pallas_fwd_notouch_ms"] = timeit(fwd_nt, counts_flat,
-                                              tl_T) * 1e3
-    fout, _ = fwd_k(counts_flat, tl_T)
+                                              tl_T, ids_smem) * 1e3
+    fout, _ = fwd_k(counts_flat, tl_T, ids_smem)
     gpack = jnp.ones((B * T, 8, 256), jnp.float32) * 1e-3
     bwd_k = jax.jit(partial(rp.composite_bwd_pallas, B=B, n_cam_tiles=T,
                             ntx=ntx, n_rows=C))
-    results["pallas_bwd_ms"] = timeit(bwd_k, counts_flat, tl_T, gpack,
-                                      fout) * 1e3
+    results["pallas_bwd_ms"] = timeit(bwd_k, counts_flat, tl_T, ids_smem,
+                                      gpack, fout) * 1e3
 
     # 6. full forward
     def fwd():
