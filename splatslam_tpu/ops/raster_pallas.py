@@ -40,6 +40,8 @@ forward/backward; the suffix-sum backward is
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -47,7 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 P = TILE * TILE            # pixels per tile (lanes)
-CH = 16                    # contributors per predicated chunk block
+# contributors per predicated chunk block (env-tunable for kernel A/B
+# sweeps: wider chunks mean fewer predication points / scalar stalls but
+# less early-exit granularity)
+CH = int(os.environ.get("SPLATSLAM_CH", "16"))
+# When unset, each chunk is additionally predicated on the tile's live
+# transmittance (early termination). The check is a vector→scalar max
+# reduction per chunk — a measurable stall on some Mosaic versions; the
+# env knob exists to A/B it.
+SAT_CHECK = not os.environ.get("SPLATSLAM_NO_SATCHECK")
 LANES = 128
 ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
@@ -142,7 +152,11 @@ def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
         st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
 
         for c0 in range(0, K, CH):
-            @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
+            pred = (c0 < count)
+            if SAT_CHECK:
+                pred &= (jnp.max(st_ref[4:5, :]) >= T_MIN)
+
+            @pl.when(pred)
             def _(c0=c0, j=j):
                 trans = st_ref[4:5, :]
                 alpha, _, _, _, _, _, gid, f = _chunk_eval(
@@ -239,7 +253,11 @@ def _bwd_tile(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
     st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
     st_ref[6:7, :] = jnp.zeros((1, P), jnp.float32)
     for c0 in range(0, K, CH):
-        @pl.when((c0 < count) & (jnp.max(st_ref[4:5, :]) >= T_MIN))
+        pred = (c0 < count)
+        if SAT_CHECK:
+            pred &= (jnp.max(st_ref[4:5, :]) >= T_MIN)
+
+        @pl.when(pred)
         def _(c0=c0):
             trans = st_ref[4:5, :]
             alpha, alpha_raw, power, live, dx, dy, gid, f = _chunk_eval(
