@@ -454,7 +454,17 @@ class Mapper:
         n_mesh = int(m.get("mesh_devices", 0) or 0)
         if n_mesh > 1:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            devs = jax.devices()
+            # Build the mesh from the platform computation actually runs
+            # on: honor an explicit jax_default_device pin (the test
+            # suite pins CPU while sitecustomize exposes the tunneled
+            # TPU backend), falling back to the default backend.
+            try:
+                pin = jax.config.jax_default_device
+                platform = (pin.platform if pin is not None
+                            else jax.default_backend())
+                devs = jax.devices(platform)
+            except Exception:
+                devs = jax.devices()
             if len(devs) >= n_mesh:
                 self.mesh = Mesh(np.asarray(devs[:n_mesh]), ("cam",))
                 self._shard_cam = NamedSharding(self.mesh,
