@@ -1,24 +1,33 @@
 #!/usr/bin/env python
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints ONE JSON line per mode; the LAST line is the
+headline metric (oracle-mode end-to-end FPS).
 
-Runs the full SLAM pipeline (oracle tracking targets — no pretrained
-droid.pth ships in this environment) on the procedural Synthetic scene at
-Replica-smoke-like settings (240×320) and reports end-to-end frames/s.
+Two measured modes of the full SLAM pipeline on the procedural Synthetic
+scene at Replica-smoke-like settings (240x320):
+  * oracle  - GT flow targets (no learned net in the loop). Headline.
+  * learned - the pretrained DBA-trained update operator (corr + ConvGRU
+    + DBA in the hot loop; reference factor_graph.py:226-270). Reports
+    kf-ATE from the same run so the flagship model's accuracy rides the
+    bench JSON (VERDICT r2 item 2).
 
 Robustness contract (round-1 failure was rc=124 with NO output at all):
   * a partial JSON line is printed after every frame, so a timeout still
     leaves a parsable result;
-  * SIGTERM/SIGINT/SIGALRM print the latest partial line and exit 0;
+  * SIGTERM/SIGINT print the latest partial line and exit 0;
   * compile time is reported separately from steady state: the first
     `BENCH_WARM` frames' wall time is attributed to warmup (JIT compiles /
     persistent-cache loads), and `steady_fps` excludes it. The headline
     `value` stays the honest total-wall-clock FPS.
 
-`vs_baseline` is value / 3.0: the north-star is ≥2× the CUDA reference
+`vs_baseline` is value / 3.0: the north-star is >=2x the CUDA reference
 (BASELINE.md), and the reference class of systems runs ~1.5 FPS on
-consumer GPUs, so 3.0 FPS ≈ the 2× target; vs_baseline ≥ 1.0 means the
+consumer GPUs, so 3.0 FPS ~= the 2x target; vs_baseline >= 1.0 means the
 target is met. (No measured in-tree reference numbers exist —
 BASELINE.json `published` is empty.)
+
+Env knobs: BENCH_FRAMES (60), BENCH_WARM (16), BENCH_REFINE (128),
+BENCH_MODES ("oracle,learned" | "oracle" | "learned"),
+BENCH_PHASES=1 (per-frame phase dicts), BENCH_OUT, BENCH_TUNNEL_PROBE_S.
 """
 
 import json
@@ -35,7 +44,10 @@ state = {
     "frames": 0,
     "n_frames": 0,
     "warm_frames": 0,
-    "done": False,
+    "metric": "e2e_fps_synthetic_oracle",
+    "probe": None,
+    "last_final": None,    # last completed mode's final line (re-emitted
+                           # on SIGTERM so the tail line stays a result)
 }
 
 
@@ -45,7 +57,7 @@ def result_line(partial):
     f = state["frames"]
     fps = f / wall if wall > 0 else 0.0
     out = {
-        "metric": "e2e_fps_synthetic_oracle",
+        "metric": state["metric"],
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
@@ -67,6 +79,8 @@ def emit(partial=True):
 
 def _bail(signum, frame):
     emit(partial=True)
+    if state["last_final"] is not None:
+        print(json.dumps(state["last_final"]), flush=True)
     os._exit(0)
 
 
@@ -85,45 +99,10 @@ def _probe_tunnel_alive(timeout_s: int) -> bool:
         return False
 
 
-def main():
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, _bail)
-
-    probe_s = int(os.environ.get("BENCH_TUNNEL_PROBE_S", "420"))
-    if probe_s > 0 and not _probe_tunnel_alive(probe_s):
-        # emit a parsable result that says WHY the value is zero rather
-        # than hanging until the driver's timeout kills us silently
-        out = result_line(partial=True)
-        out["error"] = ("tpu_unreachable: backend init did not complete "
-                        f"within {probe_s}s (tunnel down?)")
-        print(json.dumps(out), flush=True)
-        return
-
-    from splatslam_tpu.config import load_config
-    from splatslam_tpu.slam import SLAM
-
-    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
-    warm = int(os.environ.get("BENCH_WARM", "16"))
-    cfg = load_config("configs/Synthetic/smoke_oracle.yaml",
-                      "configs/splat_slam.yaml")
-    cfg["verbose"] = False
-    cfg["max_frames"] = n_frames
-    cfg["synthetic"]["n_frames"] = n_frames
-    cfg["data"]["output"] = os.environ.get("BENCH_OUT", "/tmp/bench_out")
-    cfg["mapping"]["final_refine_iters"] = int(
-        os.environ.get("BENCH_REFINE", "128"))
-    cfg["eval_full_traj"] = False
-    cfg["eval_plots"] = False   # per-keyframe panels cost host time
-
-    t_setup = time.time()
-    slam = SLAM(cfg)
-    print(json.dumps({"event": "setup_done",
-                      "setup_s": round(time.time() - t_setup, 2)}),
-          file=sys.stderr, flush=True)
-
-    # Record link/chip conditions: the tunneled TPU is SHARED — run-to-run
-    # FPS varies with link RTT and chip contention, so every result
-    # carries the probe values it was measured under.
+def _probe_link():
+    """Record link/chip conditions: the tunneled TPU is SHARED — run-to-run
+    FPS varies with link RTT and chip contention, so every result carries
+    the probe values it was measured under."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -141,13 +120,39 @@ def main():
         out = mm(a)
     np.asarray(out[:1, :1])
     tflops = 2 * 4096 ** 3 / ((time.time() - t0) / 10) / 1e12
-    state["probe"] = {"link_rtt_ms": round(rtt_ms, 1),
-                      "matmul_tflops": round(tflops, 1)}
-    print(json.dumps({"event": "probe", **state["probe"]}),
+    return {"link_rtt_ms": round(rtt_ms, 1),
+            "matmul_tflops": round(tflops, 1)}
+
+
+def run_mode(mode: str, n_frames: int, warm: int):
+    """Run the full pipeline in `mode` ('oracle'|'learned'); returns the
+    final result dict (also printed)."""
+    from splatslam_tpu.config import load_config
+    from splatslam_tpu.slam import SLAM
+
+    base = ("configs/Synthetic/smoke_oracle.yaml" if mode == "oracle"
+            else "configs/Synthetic/smoke.yaml")
+    cfg = load_config(base, "configs/splat_slam.yaml")
+    cfg["verbose"] = False
+    cfg["max_frames"] = n_frames
+    cfg["synthetic"]["n_frames"] = n_frames
+    cfg["data"]["output"] = os.environ.get(
+        "BENCH_OUT", "/tmp/bench_out") + f"_{mode}"
+    cfg["mapping"]["final_refine_iters"] = int(
+        os.environ.get("BENCH_REFINE", "128"))
+    cfg["eval_full_traj"] = False
+    cfg["eval_plots"] = False   # per-keyframe panels cost host time
+
+    state.update(metric=f"e2e_fps_synthetic_{mode}", frames=0,
+                 t0=None, t_warm_end=None, n_frames=n_frames,
+                 warm_frames=min(warm, n_frames))
+
+    t_setup = time.time()
+    slam = SLAM(cfg)
+    print(json.dumps({"event": "setup_done", "mode": mode,
+                      "setup_s": round(time.time() - t_setup, 2)}),
           file=sys.stderr, flush=True)
 
-    state["n_frames"] = n_frames
-    state["warm_frames"] = min(warm, n_frames)
     state["t0"] = time.time()
 
     def on_frame(i, timestamp, kf_idx):
@@ -160,7 +165,7 @@ def main():
         print(json.dumps(out), flush=True)
 
     t_loop = time.time()
-    slam.run(on_frame=on_frame)
+    ate_stats = slam.run(on_frame=on_frame)
     t_done = time.time()
 
     # final honest number: frames / (loop + terminate) wall
@@ -174,9 +179,65 @@ def main():
         "wall_s": round(wall, 2),
         "phases": slam.timers.as_dict(),
     })
-    if "probe" in state:
+    # achieved-FLOPs line: host-side analytic workload model (see
+    # factor_graph.update_rounds / mapper._run_iters producers) over the
+    # honest end-to-end wall. MFU vs the v5e bf16 MXU peak (394 TF/s) —
+    # a mixed VPU/f32 pipeline can't reach it; the line exists to make
+    # perf progress measurable run-over-run.
+    fl = (getattr(slam.video, "flops_tracking", 0.0)
+          + getattr(slam.video, "flops_mapping", 0.0))
+    if fl > 0:
+        out["achieved_tflops"] = round(fl / wall / 1e12, 3)
+        out["mfu"] = round(fl / wall / 394e12, 5)
+    if isinstance(ate_stats, dict) and "rmse" in ate_stats:
+        out["kf_ate_rmse"] = round(float(ate_stats["rmse"]), 6)
+    if state["probe"]:
         out["probe"] = state["probe"]
-    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _bail)
+
+    probe_s = int(os.environ.get("BENCH_TUNNEL_PROBE_S", "420"))
+    if probe_s > 0 and not _probe_tunnel_alive(probe_s):
+        # emit a parsable result that says WHY the value is zero rather
+        # than hanging until the driver's timeout kills us silently
+        out = result_line(partial=True)
+        out["error"] = ("tpu_unreachable: backend init did not complete "
+                        f"within {probe_s}s (tunnel down?)")
+        print(json.dumps(out), flush=True)
+        return
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    warm = int(os.environ.get("BENCH_WARM", "16"))
+    modes = os.environ.get("BENCH_MODES", "learned,oracle").split(",")
+
+    state["probe"] = _probe_link()
+    print(json.dumps({"event": "probe", **state["probe"]}),
+          file=sys.stderr, flush=True)
+
+    finals = []
+    for mode in modes:
+        try:
+            out = run_mode(mode.strip(), n_frames, warm)
+        except Exception as e:  # one mode failing must not kill the other
+            out = result_line(partial=True)
+            out["error"] = f"{type(e).__name__}: {e}"
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+        print(json.dumps(out), flush=True)
+        state["last_final"] = out
+        finals.append(out)
+
+    # the LAST printed line is the headline: the oracle-mode final if it
+    # ran, else the last mode's final
+    headline = next((f for f in reversed(finals)
+                     if f.get("metric") == "e2e_fps_synthetic_oracle"
+                     and not f.get("partial", True)), None)
+    if headline is not None and finals[-1] is not headline:
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -667,7 +667,13 @@ class Mapper:
         # mesh the bucket must also divide the "cam" axis → lcm.
         import math
         if self.mesh is None:
-            B = n if n < 4 else _round_up(n, 4)
+            # {1} ∪ multiples of 4: B=1 keeps the 150-iteration init map
+            # honest (padding its single camera 4x quadruples the
+            # dominant phase), but 2-3-camera windows (the first couple
+            # keyframes only) pad to 4 — each extra bucket is a fresh
+            # ~60-90 s remote compile of the big fused training program,
+            # which costs far more than a few padded early frames.
+            B = n if n == 1 else _round_up(n, 4)
         else:
             B = _round_up(n, math.lcm(4, self.mesh_size))
         pad = B - n
@@ -803,9 +809,23 @@ class Mapper:
                 self._handle_host_events(densify_cfg, n_touched)
         if store_expo or persist_exp_state or (opt_poses and n_opt):
             # ONE packed device→host pull for all per-camera outputs
-            # (each separate np.asarray costs a ~30 ms link round trip)
+            # (each separate np.asarray costs a ~30 ms link round trip).
+            # The last column carries Σ n_touched — the (gaussian, pixel)
+            # blend-pair count of the final iteration, the workload term
+            # of the achieved-FLOPs model (bench MFU line).
+            blend = jnp.broadcast_to(
+                jnp.sum(n_touched).astype(jnp.float32)[None, None], (B, 1))
             packed = np.asarray(jnp.concatenate(
-                [expo, exp_m, exp_v, w2cs.reshape(B, 16)], axis=1))
+                [expo, exp_m, exp_v, w2cs.reshape(B, 16), blend], axis=1))
+            # flops model per iteration: ~110 F per blend pair (fwd alpha
+            # eval + composite ≈ 30, bwd suffix-scan grads ≈ 80), plus
+            # projection fwd+bwd ≈ 500 F per (camera, gaussian) row and
+            # the SSIM/L1 loss ≈ 1.5 kF per (camera, pixel).
+            C_cap = self.st.xyz.shape[0]
+            loss_f = 1500.0 if self.use_ssim else 200.0
+            self.video.flops_mapping += float(iters) * (
+                float(packed[0, -1]) * 110.0
+                + B * C_cap * 500.0 + B * self.H * self.W * loss_f)
             if store_expo:
                 for i, c in enumerate(cams):
                     self.exp_ab[c.uid] = packed[i, 0:2]

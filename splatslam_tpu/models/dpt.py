@@ -67,15 +67,15 @@ class Bottleneck(nn.Module):
         if self.stride != 1 or x.shape[-1] != self.out:
             s = WSConv(self.out, (1, 1), strides=self.stride,
                        use_bias=False, name="downsample_conv")(x)
-            shortcut = nn.GroupNorm(32, name="downsample_norm")(s)
+            shortcut = nn.GroupNorm(32, epsilon=1e-5, name="downsample_norm")(s)
         y = WSConv(self.mid, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.relu(nn.GroupNorm(32, name="norm1")(y))
+        y = nn.relu(nn.GroupNorm(32, epsilon=1e-5, name="norm1")(y))
         y = WSConv(self.mid, (3, 3), strides=self.stride,
                    padding=_same_pad(3, self.stride),
                    use_bias=False, name="conv2")(y)
-        y = nn.relu(nn.GroupNorm(32, name="norm2")(y))
+        y = nn.relu(nn.GroupNorm(32, epsilon=1e-5, name="norm2")(y))
         y = WSConv(self.out, (1, 1), use_bias=False, name="conv3")(y)
-        y = nn.GroupNorm(32, name="norm3")(y)
+        y = nn.GroupNorm(32, epsilon=1e-5, name="norm3")(y)
         return nn.relu(y + shortcut)
 
 
@@ -91,7 +91,7 @@ class ResNetV2Stem(nn.Module):
     def __call__(self, x):
         x = WSConv(64, (7, 7), strides=2, padding=_same_pad(7, 2),
                    use_bias=False, name="stem_conv")(x)
-        x = nn.relu(nn.GroupNorm(32, name="stem_norm")(x))
+        x = nn.relu(nn.GroupNorm(32, epsilon=1e-5, name="stem_norm")(x))
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
                     constant_values=-jnp.inf)     # maxpool 'same' k3 s2
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
@@ -134,11 +134,12 @@ class MHA(nn.Module):
 class ViTBlock(nn.Module):
     dim: int = 768
     mlp: int = 3072
+    heads: int = 12
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(name="norm1")(x)
-        x = x + MHA(self.dim, name="attn")(y)
+        x = x + MHA(self.dim, self.heads, name="attn")(y)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.mlp, name="fc1")(y)
         y = nn.gelu(y, approximate=False)

@@ -292,6 +292,11 @@ class DepthVideo:
         self.dirty = np.zeros(self.buffer, bool)
         self.npc_dirty = np.zeros(self.buffer, bool)
         self._intr0 = None      # cached state.intrinsics[0] device row
+        # achieved-FLOPs accounting (host-side analytic model, zero device
+        # cost): producers add estimated flops here; bench.py divides the
+        # totals by wall time for the achieved-TFLOP/s / MFU line
+        self.flops_tracking = 0.0
+        self.flops_mapping = 0.0
 
     @property
     def intr0(self):

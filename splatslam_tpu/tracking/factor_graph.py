@@ -164,16 +164,23 @@ def _update_kernel(params, poses, disps, intrinsics, fmaps, inps,
     return net_n, target_new, weight_new, eta, upmask, coords1, mask
 
 
-@partial(jax.jit, static_argnames=("num_kf", "rounds", "opt_types",
-                                   "use_net", "mv_visible_num",
+# static cap on fused rounds per dispatch: stage2_flags is padded to
+# this length; the fori_loop's TRACED bound n_rounds stops early. One
+# compiled program therefore serves EVERY round count/stage schedule —
+# the previous static (rounds, opt_types) specialization compiled a
+# fresh ~30-60 s remote XLA variant per schedule per shape bucket.
+MAX_ROUNDS = 16
+
+
+@partial(jax.jit, static_argnames=("num_kf", "use_net", "mv_visible_num",
                                    "use_mono_thres", "do_upsample"))
 def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   mono_disps, depth_scale, depth_shift, valid_small,
                   gt_poses, gt_disps, net, target_act, weight_act,
                   target_in, weight_in, ii_act, jj_act, edge_valid_act,
                   in_valid, ix, uniq_act, plan, damping_maps, mv_thresh,
-                  EP, mono_thres=0.0, *, num_kf: int, rounds: int,
-                  opt_types: tuple, use_net: bool, mv_visible_num: int,
+                  EP, mono_thres, n_rounds, stage2_flags, *, num_kf: int,
+                  use_net: bool, mv_visible_num: int,
                   use_mono_thres: bool = False, do_upsample: bool = True):
     """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
 
@@ -190,18 +197,22 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     by shape, so no per-keyframe recompiles and (crucially) the pools
     never cross the host↔device link: the tunnel moves ~39 MB of GRU
     state per update otherwise.
-    opt_types: static tuple of "pose_depth"/"depth_scale" per round.
+
+    n_rounds: TRACED round count (≤ MAX_ROUNDS); stage2_flags: traced
+    (MAX_ROUNDS,) bool — True selects a DSPO stage-2 (depth_scale) round,
+    False a stage-1 (pose_depth) round. Both stage bodies live in one
+    lax.cond so the round schedule is pure data: the program compiles
+    ONCE per shape bucket, not once per schedule.
     Per-keyframe damping lives in damping_maps (buffer-indexed);
     plan.kx rows index straight into it.
     """
     from ..ops.upsample import upsample_disp, upsample_disp_uniform
     from ..ops import lie
     from ..ops.ba import (_dba_iteration, _scale_shift_iteration,
-                          align_scale_and_shift)
+                          align_scale_and_shift, bad_mono_frames)
     from .depth_video import depth_filter_kernel
 
     h, w = disps.shape[-2:]
-    net_out = net
     Na = ii_act.shape[0]
     Ni = target_in.shape[0]
     Np = plan.ii.shape[0]
@@ -210,7 +221,13 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     weight_in = weight_in * in_valid[:, None, None, None]
     tail_t = jnp.zeros((Np - Na - Ni, h, w, 2))
 
-    for r in range(rounds):
+    # upmask rides the loop carry so the post-loop upsample sees the LAST
+    # round's mask.
+
+    def round_body(r, carry):
+        (poses, disps, net_out, target_act, weight_act, damping_maps,
+         depth_scale, depth_shift, valid_small, upmask_c) = carry
+
         # --- update operator on the active edges -------------------------
         if use_net:
             net_out, t_new, w_new, eta_net, upmask, _, _ = _update_kernel(
@@ -218,6 +235,9 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                 target_act, ii_act, jj_act, edge_valid_act, ix, num_kf)
             target_act = t_new
             weight_act = w_new
+            # f32 carry: the agg head runs in the bf16 compute dtype and
+            # fori_loop requires a dtype-stable carry
+            upmask_c = upmask.astype(jnp.float32)
             # uniq_act is padded with an out-of-bounds sentinel -> dropped
             damping_maps = damping_maps.at[uniq_act].set(
                 eta_net[:uniq_act.shape[0]], mode="drop")
@@ -228,7 +248,6 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
             target_act = coords_gt
             weight_act = jnp.broadcast_to(valid_gt * has_depth * ev_act,
                                           coords_gt.shape)
-            upmask = None
 
         target_all = jnp.concatenate([target_act, target_in, tail_t], 0)
         weight_all = jnp.concatenate([weight_act, weight_in, tail_t], 0)
@@ -256,9 +275,13 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                 disps = jnp.where(touched[:, None, None], upd, disps)
             return poses, disps
 
-        if opt_types[r] == "pose_depth":
+        def stage1_branch(poses, disps, depth_scale, depth_shift,
+                          valid_small):
             poses, disps = run_stage1(poses, disps)
-        else:
+            return poses, disps, depth_scale, depth_shift, valid_small
+
+        def stage2_branch(poses, disps, depth_scale, depth_shift,
+                          valid_small):
             # stage-2: refresh the multiview mask + (w, q) init for the
             # touched frames (depth_video.py:236-251 semantics)
             kx = plan.kx
@@ -288,7 +311,6 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                 # the reference's rebuilt edge plan. If EVERY edge drops,
                 # fall back to a stage-1 round (dspo() returning False →
                 # ba() retries "pose_depth").
-                from ..ops.ba import bad_mono_frames
                 bad = bad_mono_frames(mono_disps, disps, valid_small,
                                       mono_thres)
                 keep_e = ((~bad[plan.ii]) & (~bad[plan.jj])
@@ -327,17 +349,40 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                             weight_all, eta, mono_disps, depth_scale,
                             depth_shift, valid_small, plan,
                             1e-4, 0.1, 0.01)
+            return poses, disps, depth_scale, depth_shift, valid_small
+
+        (poses, disps, depth_scale, depth_shift, valid_small) = \
+            jax.lax.cond(stage2_flags[r], stage2_branch, stage1_branch,
+                         poses, disps, depth_scale, depth_shift,
+                         valid_small)
+
+        return (poses, disps, net_out, target_act, weight_act,
+                damping_maps, depth_scale, depth_shift, valid_small,
+                upmask_c)
+
+    if use_net:
+        # abstract-eval one agg call for the upmask carry shape (cheap:
+        # shape inference only, no device work)
+        up0 = jnp.zeros((num_kf, h, w, 8 * 8 * 9), jnp.float32)
+    else:
+        up0 = jnp.zeros((1,), jnp.float32)
+
+    carry = (poses, disps, net, target_act, weight_act, damping_maps,
+             depth_scale, depth_shift, valid_small, up0)
+    carry = jax.lax.fori_loop(
+        0, jnp.minimum(n_rounds, MAX_ROUNDS), round_body, carry)
+    (poses, disps, net_out, target_act, weight_act, damping_maps,
+     depth_scale, depth_shift, valid_small, upmask_f) = carry
 
     # --- convex upsampling of the touched disparities ---------------------
     # ONCE after the rounds, not per round: disps_up is only consumed
     # outside tracking (mapper / eval), so intermediate-round upsamples
-    # are dead writes (last write wins). The caller sets do_upsample only
-    # on the final cycle of a chunked rounds sequence.
+    # are dead writes (last write wins).
     if do_upsample:
         uniq_safe = jnp.clip(uniq_act, 0, disps.shape[0] - 1)
         if use_net:
             up = upsample_disp(disps[uniq_safe],
-                               upmask[:uniq_act.shape[0]])
+                               upmask_f[:uniq_act.shape[0]])
         else:
             up = upsample_disp_uniform(disps[uniq_safe])
         disps_up = disps_up.at[uniq_act].set(up, mode="drop")
@@ -346,10 +391,10 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
             damping_maps, depth_scale, depth_shift, valid_small)
 
 
-@partial(jax.jit, static_argnames=("num_kf", "rounds"))
+@partial(jax.jit, static_argnames=("num_kf",))
 def _fused_motion_rounds(params, poses, disps, intrinsics, fmaps, inps,
-                         net, target, ii, jj, edge_valid, ix, plan, *,
-                         num_kf: int, rounds: int):
+                         net, target, ii, jj, edge_valid, ix, plan,
+                         rounds, *, num_kf: int):
     """`rounds` motion-only tracker rounds — GRU update + MoBA — in ONE
     device program.
 
@@ -700,14 +745,13 @@ class FactorGraph:
         if self.video.BA_type != "DSPO":
             opt_types = tuple("pose_depth" for _ in opt_types)
 
-        # fuse in small repeating cycles: one compiled 2-round program gets
-        # reused across all rounds (an 8-round program would be a 4x larger
-        # compile unit used once per shape bucket)
-        cycle = 2 if len(opt_types) > 2 else len(opt_types)
-        if len(opt_types) > cycle:
-            for c0 in range(0, len(opt_types), cycle):
-                chunk = opt_types[c0:c0 + cycle]
-                last = c0 + cycle >= len(opt_types)
+        # the fused program takes a TRACED round count + stage schedule
+        # (one compile per shape bucket, any schedule); only schedules
+        # beyond MAX_ROUNDS need chunked dispatches
+        if len(opt_types) > MAX_ROUNDS:
+            for c0 in range(0, len(opt_types), MAX_ROUNDS):
+                chunk = opt_types[c0:c0 + MAX_ROUNDS]
+                last = c0 + MAX_ROUNDS >= len(opt_types)
                 self.update_rounds(chunk, t0=t0, t1=t1,
                                    use_inactive=use_inactive, EP=EP,
                                    upsample=upsample and last)
@@ -787,8 +831,11 @@ class FactorGraph:
                 plan, self.damping_maps,
                 mv_cfg["thresh"], EP,
                 float(self.video.mono_thres or 0.0),
-                num_kf=Mk, rounds=len(opt_types),
-                opt_types=tuple(opt_types), use_net=not self.oracle,
+                jnp.asarray(len(opt_types), jnp.int32),
+                jnp.asarray(np.asarray(
+                    [t == "depth_scale" for t in opt_types]
+                    + [False] * (MAX_ROUNDS - len(opt_types)), bool)),
+                num_kf=Mk, use_net=not self.oracle,
                 mv_visible_num=mv_cfg["visible_num"],
                 use_mono_thres=bool(self.video.mono_thres),
                 do_upsample=upsample and self.upsample_flag)
@@ -805,6 +852,18 @@ class FactorGraph:
         self.target = target_act
         self.weight = weight_act
         self.age += len(opt_types)
+
+        # achieved-FLOPs model (host arithmetic only). Per edge-pixel per
+        # round: learned path ≈ alt-corr (4 lvl × 49 taps × 128-d dot × 2)
+        # + ConvGRU/heads (~3 conv3x3 with ~384→128 ch ≈ 2.7 MF) ≈ 2.8 MF;
+        # oracle reprojection ≈ 2 kF. DBA: ~1.5 kF per edge-pixel per GN
+        # iteration (Jacobian products + 6×6 block accumulate), 2 iters
+        # per round, plus the dense pose solve (negligible at P ≤ 64).
+        px = self.h * self.w
+        n_edges = Na + n_inac
+        per_round = (2.8e6 if not self.oracle else 2e3) * n_edges * px \
+            + 2 * 1.5e3 * plan.ii.shape[0] * px
+        self.video.flops_tracking += per_round * len(opt_types)
 
     def update_rounds_motion_only(self, rounds, t0, t1):
         """`rounds` motion-only update rounds (GRU + MoBA) in ONE device
@@ -826,7 +885,7 @@ class FactorGraph:
             s.inps, self.net, self.target,
             jnp.asarray(ii_p, jnp.int32), jnp.asarray(jj_p, jnp.int32),
             jnp.asarray(valid), jnp.asarray(ix, jnp.int32), plan,
-            num_kf=Mk, rounds=rounds)
+            jnp.asarray(rounds, jnp.int32), num_kf=Mk)
         s.poses = poses
         self.net = net
         self.target = target
