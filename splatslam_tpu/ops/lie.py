@@ -324,6 +324,32 @@ def from_matrix_np(T) -> "np.ndarray":
     return np.concatenate([T[:3, 3], q]).astype(np.float32)
 
 
+def inv_matrix_np(g) -> "np.ndarray":
+    """Host (numpy, batched) c2w 4×4 matrices from w2c SE3 7-vecs —
+    to_matrix(inv(g)) without a device program + matrix-sized pull (the
+    save/eval paths pull the raw (n, 7) vecs, 28 B per keyframe, and
+    convert here)."""
+    import numpy as np
+    g = np.atleast_2d(np.asarray(g, np.float64))
+    t, q = g[:, :3], g[:, 3:7]
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((g.shape[0], 3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    out = np.tile(np.eye(4), (g.shape[0], 1, 1))
+    # inv([R|t]) = [Rᵀ | -Rᵀt]
+    out[:, :3, :3] = R.transpose(0, 2, 1)
+    out[:, :3, 3] = -np.einsum("nji,nj->ni", R, t)
+    return out.astype(np.float32)
+
+
 def normalize(g: jnp.ndarray) -> jnp.ndarray:
     """Renormalize the quaternion part (fp32 drift control)."""
     t, q = g[..., :3], g[..., 3:7]

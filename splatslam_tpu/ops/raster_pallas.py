@@ -27,10 +27,12 @@ Mosaic constraints shape the implementation:
   * iota must be integer.
 
 Data layouts for the (8,128) f32 tile:
-  * tile lists are (B·T, 16, K): fields on sublanes, contributors on
-    lanes. Field order (11 used): [mean_x, mean_y, conic_a, conic_b,
-    conic_c, col_r, col_g, col_b, opacity, depth, gaussian_id (as f32,
-    exact for N ≤ 2²⁴; −1 padding), 0…];
+  * tile lists are (B·T, 10, K): fields on sublanes, contributors on
+    lanes. Field order: [mean_x, mean_y, conic_a, conic_b, conic_c,
+    col_r, col_g, col_b, opacity, depth]. Gaussian ids live ONLY in the
+    (B·T, 1, K) SMEM mirror (scalar loads feed both the accumulator
+    block index and the per-entry lane mask — a former float id row
+    cost a 16th packet row of gather + DMA traffic);
   * per-tile pixel outputs are (B·T, 8, P) with P = 256 = TILE² lanes.
 
 Reference for the math: the diff-gaussian-rasterization-w-pose CUDA
@@ -51,12 +53,20 @@ TILE = 16
 P = TILE * TILE            # pixels per tile (lanes)
 # contributors per predicated chunk block (env-tunable for kernel A/B
 # sweeps: wider chunks mean fewer predication points / scalar stalls but
-# less early-exit granularity)
-CH = int(os.environ.get("SPLATSLAM_CH", "16"))
-# When unset, each chunk is additionally predicated on the tile's live
-# transmittance (early termination). The check is a vector→scalar max
-# reduction per chunk — a measurable stall on some Mosaic versions; the
-# env knob exists to A/B it.
+# less early-exit granularity). Measured on v5e at 12 cams/65k/K=256
+# (mean tile count 83): CH 16→32 cut fwd 42.5→25.0 ms and bwd
+# 66.4→41.1 ms — per-chunk fixed costs (predication + scalar stalls)
+# dominate at CH=16; CH=8 was 1.9× WORSE than 16. Clamped to K per call.
+CH = int(os.environ.get("SPLATSLAM_CH", "32"))
+# Transmittance early-termination check cadence, in chunks. The check is
+# a vector→scalar max reduction whose scalar-unit stall measured ~45%
+# of the whole kernel at CH=32 (fwd 25.0→13.8 ms without it), so it runs
+# every SAT_EVERY chunks (first chunk never checks — a tile cannot be
+# saturated before any work). Results are IDENTICAL either way: the
+# T_MIN weight gate already zeroes contributions behind saturation; the
+# check only skips provably-dead work, and a 2-chunk overshoot costs
+# less than per-chunk stalls. SPLATSLAM_NO_SATCHECK=1 disables entirely.
+SAT_EVERY = int(os.environ.get("SPLATSLAM_SAT_EVERY", "2"))
 SAT_CHECK = not os.environ.get("SPLATSLAM_NO_SATCHECK")
 LANES = 128
 ALPHA_MIN = 1.0 / 255.0
@@ -100,33 +110,37 @@ def _pix_coords(tt, ntx):
     return px, py
 
 
-def _chunk_eval(tl_ref, c0, px, py, count, j=0):
-    """Evaluate the static chunk starting at c0: alpha (CH,P) with CUDA
-    gating. tl_ref block is (TB, 16, K); c0/j are Python ints."""
-    f = tl_ref[j, :, c0:c0 + CH]            # (16, CH) static slice
-    # ONE lane->sublane relayout for all 11 fields (the per-field
-    # row-to-column reshape costed 11 separate relayout ops)
-    fT = f.T                                 # (CH, 16)
+def _chunk_eval(tl_ref, c0, ch, px, py, count, j=0):
+    """Evaluate the static chunk starting at c0: alpha (ch,P) with CUDA
+    gating. tl_ref block is (TB, 10, K); c0/ch/j are Python ints."""
+    f = tl_ref[j, :, c0:c0 + ch]            # (10, ch) static slice
+    # ONE lane->sublane relayout for all 10 fields (the per-field
+    # row-to-column reshape costed 10 separate relayout ops)
+    fT = f.T                                 # (ch, 10)
     g = lambda r: fT[:, r:r + 1]
     mx, my, ca, cb, cc = g(0), g(1), g(2), g(3), g(4)
     cr, cg, cb_, op, dp = g(5), g(6), g(7), g(8), g(9)
-    gid = g(10)
-    dx = px - mx                             # (CH,P)
+    dx = px - mx                             # (ch,P)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     alpha_raw = op * jnp.exp(power)
     alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-    kidx = (c0 + jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0))
+    kidx = (c0 + jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0))
     live = ((power <= 0) & (alpha >= ALPHA_MIN) & (kidx < count))
     alpha = jnp.where(live, alpha, 0.0)
-    return (alpha, alpha_raw, power, live, dx, dy, gid,
+    return (alpha, alpha_raw, power, live, dx, dy,
             (mx, my, ca, cb, cc, cr, cg, cb_, op, dp))
 
 
-def _lane_mask(gid):
-    """One-hot (1, LANES) f32 mask for lane gid % LANES."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    return (lane == jnp.mod(gid, LANES)).astype(jnp.float32)
+def _entry_mask(ids_ref, j, k, lanes_iota):
+    """One-hot (1, LANES) f32 mask for tile-list entry k, built from the
+    SMEM ids mirror (scalar load + broadcast compare; the former float
+    gid row in the tile lists cost a 16th packet row of gather+DMA
+    traffic and a per-chunk vector relayout). Padding entries (id < 0)
+    get an all-zero mask, so unconditional RMWs add exact zeros."""
+    gid = ids_ref[j, 0, k]
+    return ((lanes_iota == jnp.mod(gid, LANES)) & (gid >= 0)
+            ).astype(jnp.float32)
 
 
 def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
@@ -138,6 +152,8 @@ def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
     def _():
         ntouch_ref[...] = jnp.zeros_like(ntouch_ref)
 
+    ch = min(CH, K)
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     # TB tiles per grid step: amortizes grid-iteration + block-DMA fixed
     # costs (the per-tile work is a handful of µs — at B·T ≈ 10⁴ tiles
     # the fixed costs were a measurable slice of the kernel)
@@ -151,18 +167,18 @@ def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
         st_ref[0:4, :] = jnp.zeros((4, P), jnp.float32)
         st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
 
-        for c0 in range(0, K, CH):
+        for ci, c0 in enumerate(range(0, K, ch)):
             pred = (c0 < count)
-            if SAT_CHECK:
+            if SAT_CHECK and ci > 0 and ci % SAT_EVERY == 0:
                 pred &= (jnp.max(st_ref[4:5, :]) >= T_MIN)
 
             @pl.when(pred)
             def _(c0=c0, j=j):
                 trans = st_ref[4:5, :]
-                alpha, _, _, _, _, _, gid, f = _chunk_eval(
-                    tl_ref, c0, px, py, count, j)
+                alpha, _, _, _, _, _, f = _chunk_eval(
+                    tl_ref, c0, ch, px, py, count, j)
                 _, _, _, _, _, cr, cg, cb_, _, dp = f
-                cum = _prefix_prod(1.0 - alpha)                 # (CH,P)
+                cum = _prefix_prod(1.0 - alpha)                 # (ch,P)
                 t_before = trans * jnp.concatenate(
                     [jnp.ones_like(cum[:1]), cum[:-1]], 0)
                 w = jnp.where(t_before * (1.0 - alpha) < T_MIN,
@@ -185,15 +201,7 @@ def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
                     # gates).
                     touched = jnp.sum((w > 0), axis=1,
                                       keepdims=True).astype(jnp.float32)
-                    lanes = jax.lax.broadcasted_iota(
-                        jnp.int32, (CH, LANES), 1)
-                    gid_i32 = gid.astype(jnp.int32)
-                    # unconditional straight-line RMW (see the bwd
-                    # kernel's note): padding entries have touched == 0
-                    # and a zeroed mask, so they add exact zeros
-                    masks = ((lanes == jnp.mod(gid_i32, LANES))
-                             & (gid_i32 >= 0)).astype(jnp.float32)
-                    for i in range(CH):
+                    for i in range(ch):
                         # accumulator block index from the SMEM ids
                         # mirror: a static scalar load, vs extracting
                         # gid[i, 0] from a vector register (a
@@ -201,7 +209,8 @@ def _fwd_kernel(counts_ref, tl_ref, ids_ref, out_ref, ntouch_ref, st_ref,
                         # the bwd kernel's accumulate note)
                         blk = jnp.maximum(ids_ref[j, 0, c0 + i],
                                           0) // LANES
-                        upd = touched[i:i + 1, :] * masks[i:i + 1, :]
+                        upd = touched[i:i + 1, :] * _entry_mask(
+                            ids_ref, j, c0 + i, lanes_iota)
                         ntouch_ref[0, blk, 0:1, :] = \
                             ntouch_ref[0, blk, 0:1, :] + upd
 
@@ -250,18 +259,20 @@ def _bwd_tile(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
              + fo_ref[j, 2:3, :] * g_c2 + fo_ref[j, 3:4, :] * g_d)
 
     # single pass: prefix recompute + per-contributor grads + accumulate
+    ch = min(CH, K)
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     st_ref[4:5, :] = jnp.ones((1, P), jnp.float32)
     st_ref[6:7, :] = jnp.zeros((1, P), jnp.float32)
-    for c0 in range(0, K, CH):
+    for ci, c0 in enumerate(range(0, K, ch)):
         pred = (c0 < count)
-        if SAT_CHECK:
+        if SAT_CHECK and ci > 0 and ci % SAT_EVERY == 0:
             pred &= (jnp.max(st_ref[4:5, :]) >= T_MIN)
 
         @pl.when(pred)
         def _(c0=c0):
             trans = st_ref[4:5, :]
-            alpha, alpha_raw, power, live, dx, dy, gid, f = _chunk_eval(
-                tl_ref, c0, px, py, count, j)
+            alpha, alpha_raw, power, live, dx, dy, f = _chunk_eval(
+                tl_ref, c0, ch, px, py, count, j)
             _, _, ca, cb, cc, cr, cg, cb_, op, dp = f
             cum = _prefix_prod(1.0 - alpha)
             t_before = trans * jnp.concatenate(
@@ -277,7 +288,7 @@ def _bwd_tile(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
             g_pow = jnp.where(live & unclamped, galpha * alpha_raw, 0.0)
             g_opa = jnp.where(live & unclamped,
                               galpha * jnp.exp(power), 0.0)
-            r = lambda x: jnp.sum(x, axis=1, keepdims=True)  # → (CH,1)
+            r = lambda x: jnp.sum(x, axis=1, keepdims=True)  # → (ch,1)
             rows = jnp.concatenate([
                 r(g_pow * (ca * dx + cb * dy)),       # d/dmean_x
                 r(g_pow * (cc * dy + cb * dx)),       # d/dmean_y
@@ -287,28 +298,25 @@ def _bwd_tile(counts_ref, tl_ref, ids_ref, gp_ref, fo_ref, acc_ref,
                 r(w * g_c0), r(w * g_c1), r(w * g_c2),
                 r(g_opa),                             # d/dopacity
                 r(w * g_d),                           # d/ddepth
-                jnp.zeros((CH, 6), jnp.float32),
-            ], axis=1)                                # (CH, 16)
+                jnp.zeros((ch, 6), jnp.float32),
+            ], axis=1)                                # (ch, 16)
             # per-entry gradient magnitude: all-zero rows add nothing
             # (transmittance underflows to exact 0 behind saturated
             # pixels, so far-back entries skip — CUDA's last_contributor)
             rowsT = rows.T                         # ONE relayout per chunk
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (CH, LANES), 1)
-            gid_i32 = gid.astype(jnp.int32)
             # zero the mask (not the add) for padding entries: dead rows
             # are already all-zero (alpha gating), so an UNCONDITIONAL
             # straight-line RMW is correct — and much faster than a
             # per-entry pl.when, whose branch serializes the
             # vector→scalar gid extraction every iteration (measured
             # ~140 cycles/entry predicated vs ~45 straight-line)
-            masks = ((lanes == jnp.mod(gid_i32, LANES)) & (gid_i32 >= 0)
-                     ).astype(jnp.float32)
-            for i in range(CH):
+            for i in range(ch):
                 # block index via the SMEM ids mirror (static scalar
                 # load) instead of gid[i, 0] (vector→scalar move —
                 # measured ~2× the whole RMW's cost per entry)
                 blk = jnp.maximum(ids_ref[j, 0, c0 + i], 0) // LANES
-                upd = rowsT[:, i:i + 1] * masks[i:i + 1, :]
+                upd = rowsT[:, i:i + 1] * _entry_mask(
+                    ids_ref, j, c0 + i, lanes_iota)
                 acc_ref[0, blk] = acc_ref[0, blk] + upd
             st_ref[4:5, :] = trans * cum[-1:]
             st_ref[6:7, :] = st_ref[6:7, :] + incl[-1:]
@@ -324,9 +332,9 @@ def _tiles_per_block(n_cam_tiles: int) -> int:
 
 def composite_fwd_pallas(counts, tl_T, ids, B, n_cam_tiles, ntx, n_rows,
                          interpret=False, want_touched=True):
-    """counts (B·T,) int32; tl_T (B·T, 16, K) f32 with per-camera
-    Gaussian ids in row 10 (float, −1 padding); ids (B·T, 1, K) int32 —
-    the same ids as an SMEM mirror (per-entry accumulator block indices
+    """counts (B·T,) int32; tl_T (B·T, 10, K) f32 packet fields;
+    ids (B·T, 1, K) int32 — per-camera Gaussian ids (−1 padding) as an
+    SMEM mirror (per-entry accumulator block indices and lane masks
     come from cheap scalar loads instead of vector extracts).
     Returns out (B·T, 8, P) [color3, depth, alpha, 0…] and
     n_touched (B, n_rows//128, 8, 128) f32 (row 0 holds the counts;
@@ -339,7 +347,7 @@ def composite_fwd_pallas(counts, tl_T, ids, B, n_cam_tiles, ntx, n_rows,
         num_scalar_prefetch=1,
         grid=(B, n_cam_tiles // TB),
         in_specs=[
-            pl.BlockSpec((TB, 16, K),
+            pl.BlockSpec((TB, 10, K),
                          lambda b, t, *_: (
                              (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -380,8 +388,8 @@ def composite_bwd_pallas(counts, tl_T, ids, gpack, fwdout, B, n_cam_tiles,
                          ntx, n_rows, interpret=False):
     """Gradient accumulation kernel.
 
-    counts (B·T,) int32; tl_T (B·T,16,K) with ids in row 10;
-    ids (B·T, 1, K) int32 SMEM mirror of the ids (see
+    counts (B·T,) int32; tl_T (B·T,10,K) packet fields;
+    ids (B·T, 1, K) int32 SMEM mirror of the per-camera ids (see
     composite_fwd_pallas); gpack (B·T, 8, P) rows = [g_color(3),
     g_depth, g_alpha, 0…];
     fwdout (B·T, 8, P) the forward kernel's output rows (pre-background
@@ -401,7 +409,7 @@ def composite_bwd_pallas(counts, tl_T, ids, gpack, fwdout, B, n_cam_tiles,
         num_scalar_prefetch=1,
         grid=(B, n_cam_tiles // TB),
         in_specs=[
-            pl.BlockSpec((TB, 16, K),
+            pl.BlockSpec((TB, 10, K),
                          lambda b, t, *_: (
                              (b * n_cam_tiles) // TB + t, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -515,11 +515,12 @@ def _pallas_ok(n_rows: int) -> bool:
 
 
 def _pallas_prep(tile_ids, counts, packets):
-    """Gather per-camera packets into the (B·T, 16, K) tile-list layout
-    (row 10 carries the per-camera Gaussian id as float, −1 padding).
+    """Gather per-camera packets into the (B·T, 10, K) tile-list layout.
     Also returns the ids as a (B·T, 1, K) int32 SMEM mirror — the
-    kernels' per-entry accumulate reads its block index from SMEM
-    scalars instead of extracting lane 0 of a vector register."""
+    kernels read per-entry accumulator block indices AND lane masks from
+    SMEM scalars, so no id row rides in the float tile lists (the former
+    16-row layout spent 6/16 of the gather+DMA traffic on the id row and
+    zero padding)."""
     B, T, K = tile_ids.shape
     N = packets.shape[1]
     packets_pad = jnp.concatenate(
@@ -528,10 +529,7 @@ def _pallas_prep(tile_ids, counts, packets):
     tl = jnp.take_along_axis(
         packets_pad, idsafe.reshape(B, T * K)[..., None],
         axis=1).reshape(B * T, K, 10)
-    ids_f = tile_ids.reshape(B * T, K, 1).astype(tl.dtype)
-    tl_T = jnp.concatenate(
-        [tl, ids_f, jnp.zeros((B * T, K, 5), tl.dtype)],
-        -1).transpose(0, 2, 1)
+    tl_T = tl.transpose(0, 2, 1)
     ids_smem = tile_ids.reshape(B * T, 1, K).astype(jnp.int32)
     return tl_T, ids_smem, counts.reshape(B * T).astype(jnp.int32)
 

@@ -179,11 +179,14 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
         img_np = np.asarray(images) if need_host_images else None
         # alpha-normalized rendered depth (consistent with eval_mesh):
         # the raw accumulation sum(w_i d_i) understates depth wherever
-        # coverage alpha < 1
-        a_np = np.asarray(out.alpha)
+        # coverage alpha < 1. f16 transfers: half the bulk bytes over
+        # the ~70 ms/MB link, error ~5e-4 relative — noise at L1 scale.
+        a_np = np.asarray(out.alpha.astype(jnp.float16)).astype(
+            np.float32)
         dep_np = np.where(
             a_np > 0.5,
-            np.asarray(out.depth) / np.clip(a_np, 1e-6, None),
+            np.asarray(out.depth.astype(jnp.float16)).astype(np.float32)
+            / np.clip(a_np, 1e-6, None),
             0.0) * global_scale
 
         for i, (kf_idx, frame_idx) in enumerate(chunk):

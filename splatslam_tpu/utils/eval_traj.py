@@ -127,8 +127,7 @@ def full_traj_eval(traj_filler, traj_dir, name, stream, printer=None):
     """Fill non-keyframe poses then evaluate (eval_traj.py:143-175)."""
     w2c_vecs = traj_filler(stream)            # (n_frames, 7) w2c
     from ..ops import lie
-    import jax.numpy as jnp
-    c2w = np.asarray(lie.to_matrix(lie.inv(jnp.asarray(w2c_vecs))))
+    c2w = lie.inv_matrix_np(np.asarray(w2c_vecs))
     gt, keep = _gt_c2w_list(stream, np.arange(len(stream)))
     est_xyz = c2w[keep][:, :3, 3]
     gt_xyz = np.stack([g[:3, 3] for g in gt])

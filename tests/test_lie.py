@@ -164,3 +164,18 @@ def test_sim3_retr():
     np.testing.assert_allclose(
         np.asarray(lie.sim3_retr(g, xi)),
         np.asarray(lie.sim3_mul(lie.sim3_exp(xi), g)), atol=1e-6)
+
+
+def test_inv_matrix_np_matches_device():
+    """Host batched c2w conversion == to_matrix(inv(g)) on device (the
+    save/eval paths pull 7-vecs and convert on the host)."""
+    rng = np.random.RandomState(5)
+    g = []
+    for i in range(7):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        g.append(np.concatenate([rng.randn(3), q]).astype(np.float32))
+    g = np.stack(g)
+    ref = np.asarray(jax.vmap(lambda p: lie.to_matrix(lie.inv(p)))(
+        jnp.asarray(g)))
+    np.testing.assert_allclose(lie.inv_matrix_np(g), ref, atol=1e-5)
