@@ -147,6 +147,32 @@ def run_mode(mode: str, n_frames: int, warm: int):
                  t0=None, t_warm_end=None, n_frames=n_frames,
                  warm_frames=min(warm, n_frames))
 
+    # Prime pass (VERDICT r2 item 8): run a miniature pipeline (same cam /
+    # buffer / capacity config => same compiled program shapes) BEFORE the
+    # measured loop so jit compiles and persistent-cache loads land in
+    # setup, not in the measured frames. Module-level @jax.jit caches are
+    # shared across SLAM instances, so the measured run starts warm.
+    prime_s = 0.0
+    if os.environ.get("BENCH_PRIME", "1") != "0":
+        import copy
+        pcfg = copy.deepcopy(cfg)
+        pn = min(14, n_frames)
+        pcfg["max_frames"] = pn
+        pcfg["synthetic"]["n_frames"] = pn
+        pcfg["data"]["output"] = cfg["data"]["output"] + "_prime"
+        pcfg["mapping"]["final_refine_iters"] = 8
+        t_p = time.time()
+        try:
+            SLAM(pcfg).run()
+        except Exception as e:
+            print(json.dumps({"event": "prime_failed",
+                              "error": f"{type(e).__name__}: {e}"}),
+                  file=sys.stderr, flush=True)
+        prime_s = round(time.time() - t_p, 2)
+        print(json.dumps({"event": "prime_done", "mode": mode,
+                          "prime_s": prime_s}),
+              file=sys.stderr, flush=True)
+
     t_setup = time.time()
     slam = SLAM(cfg)
     print(json.dumps({"event": "setup_done", "mode": mode,
@@ -191,6 +217,8 @@ def run_mode(mode: str, n_frames: int, warm: int):
         out["mfu"] = round(fl / wall / 394e12, 5)
     if isinstance(ate_stats, dict) and "rmse" in ate_stats:
         out["kf_ate_rmse"] = round(float(ate_stats["rmse"]), 6)
+    if prime_s:
+        out["prime_s"] = prime_s
     if state["probe"]:
         out["probe"] = state["probe"]
     return out

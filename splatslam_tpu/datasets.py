@@ -268,6 +268,14 @@ class Synthetic(BaseDataset):
             self.n_img = min(self.n_img, max_frames)
         self.seed = syn.get("seed", 7)
         self.motion_scale = syn.get("motion_scale", 1.0)
+        # loop_period P > 0 folds the trajectory parameter into a pendulum
+        # p(k) = P - |k mod 2P - P|: the camera retraces its own path every
+        # 2P frames with EXACT pose revisits (smooth at the turning points
+        # because the sin-based motion is C^1 in p). Gives loop-closure
+        # structure with guaranteed sub-threshold frame distances at large
+        # temporal separation (reference loop criterion si-sj > 20 kfs,
+        # glorie_slam factor_graph.py:450-461).
+        self.loop_period = syn.get("loop_period", 0)
         self._build_scene()
 
     def _build_scene(self):
@@ -297,7 +305,12 @@ class Synthetic(BaseDataset):
         A = 0.06 * ms                 # translation amplitude (scene ~2-3.5 m)
         R_amp = 0.015 * ms            # rotation amplitude (rad)
         self.poses = []
-        for k in range(self.n_img):
+        for k0 in range(self.n_img):
+            if self.loop_period > 0:
+                P = float(self.loop_period)
+                k = P - abs(k0 % (2.0 * P) - P)
+            else:
+                k = float(k0)
             c2w = np.eye(4)
             ang = R_amp * np.asarray([np.sin(k / 6.0),
                                       np.sin(k / 9.0 + 1.0),

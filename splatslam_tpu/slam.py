@@ -87,6 +87,52 @@ class SLAM:
         # fetch every frame
         intrinsic = np.asarray(self.stream.get_intrinsic(), np.float32)
         oracle = self.cfg["tracking"].get("oracle", False)
+        # One-frame-lookahead prefetch: dataset decode/render is host
+        # numpy (~0.1 s/frame) and otherwise fully serial with device
+        # work; a daemon thread overlaps frame i+1's prep with frame i's
+        # tracking (the reference gets this overlap for free from its
+        # process split, tracker.py:64 + datasets.py:170-216).
+        import queue as _queue
+        import threading
+
+        def _prefetch(q, stream, stop):
+            from .ops import lie
+            try:
+                for k in range(len(stream)):
+                    if stop.is_set():
+                        break
+                    timestamp, image, gt_depth, gt_c2w = stream[k]
+                    # frame prep that is pure host numpy rides the
+                    # prefetch thread too: u8 quantization for the cheap
+                    # upload, and the oracle 7-vec pose
+                    img_u8 = (np.asarray(image) * 255.0).astype(np.uint8)
+                    gt_pose = None
+                    if oracle and gt_c2w is not None:
+                        gt_np = np.asarray(gt_c2w)
+                        if np.isfinite(gt_np).all():
+                            gt_pose = lie.from_matrix_np(
+                                np.linalg.inv(gt_np))
+                    q.put((k, (timestamp, img_u8, gt_depth, gt_pose)))
+            except Exception as e:       # surfaced by the consumer
+                q.put((-1, e))
+            q.put(None)
+
+        pre_q = _queue.Queue(maxsize=2)
+        pre_stop = threading.Event()
+        threading.Thread(target=_prefetch,
+                         args=(pre_q, self.stream, pre_stop),
+                         daemon=True).start()
+        try:
+            return self._run_loop(pre_q, intrinsic, oracle, on_frame)
+        finally:
+            pre_stop.set()
+            while not pre_q.empty():     # unblock the producer
+                try:
+                    pre_q.get_nowait()
+                except _queue.Empty:
+                    break
+
+    def _run_loop(self, pre_q, intrinsic, oracle, on_frame):
         prev_kf_idx = 0
         prev_ba_idx = 0
         number_of_kf = 0
@@ -94,23 +140,19 @@ class SLAM:
         with device_trace(self.trace_dir):
             for i in range(len(self.stream)):
                 with T("data"):
-                    timestamp, image, gt_depth, gt_c2w = self.stream[i]
-                    gt_pose = None
-                    if oracle and gt_c2w is not None:
-                        from .ops import lie
-                        # host-side: the 7-vec feeds per-frame host logic
-                        # (oracle admission) — a device round trip per
-                        # frame would dominate tracking. Non-finite GT
-                        # (ScanNet marks untracked frames with -inf)
-                        # degrades to the no-GT admission path.
-                        gt_np = np.asarray(gt_c2w)
-                        if np.isfinite(gt_np).all():
-                            gt_pose = lie.from_matrix_np(
-                                np.linalg.inv(gt_np))
+                    item = pre_q.get()
+                    if item is None or item[0] == -1:
+                        if item is not None:
+                            raise item[1]
+                        break
+                    assert item[0] == i
+                    # gt_pose is the host-side 7-vec (oracle admission is
+                    # per-frame host logic; non-finite GT was already
+                    # degraded to None by the producer)
+                    timestamp, img_u8_np, gt_depth, gt_pose = item[1]
                 with T("motion_filter"):
                     # uint8 upload: 4x less traffic over the device link
-                    img_u8 = jnp.asarray(
-                        (np.asarray(image) * 255.0).astype(np.uint8))
+                    img_u8 = jnp.asarray(img_u8_np)
                     self.motion_filter.track(
                         timestamp, img_u8, intrinsic,
                         gt_pose=gt_pose,

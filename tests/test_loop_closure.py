@@ -24,7 +24,7 @@ import pytest
 from splatslam_tpu.config import load_config
 
 
-N_FRAMES = 160
+N_FRAMES = 120
 
 
 def _cfg(tmp_path, enable_loop):
@@ -33,8 +33,11 @@ def _cfg(tmp_path, enable_loop):
     cfg["verbose"] = False
     cfg["only_tracking"] = True
     cfg["max_frames"] = N_FRAMES
+    # pendulum trajectory (loop_period): the camera retraces its own path,
+    # so frames 90 apart share EXACT poses — the genuine revisit the loop
+    # machinery needs (si-sj > 20 kf separation at sub-thresh distance)
     cfg["synthetic"] = dict(cfg.get("synthetic", {}), n_frames=N_FRAMES,
-                            seed=11, motion_scale=6.0)
+                            seed=11, motion_scale=8.0, loop_period=45)
     # small-res learned tracking: 96x128 -> 12x16 feature grid
     cfg["cam"] = dict(cfg["cam"], H=96, W=128, fx=80.0, fy=80.0,
                       cx=63.5, cy=47.5, H_out=96, W_out=128,
@@ -42,8 +45,10 @@ def _cfg(tmp_path, enable_loop):
     tr = cfg["tracking"]
     tr["buffer"] = 96
     tr["warmup"] = 5
-    tr["motion_filter"]["thresh"] = 0.8
-    tr["frontend"]["keyframe_thresh"] = 0.5
+    # admit ~1 keyframe per 3-4 frames so >20 keyframes separate the
+    # revisit pair (the reference loop-edge gate, factor_graph.py:457)
+    tr["motion_filter"]["thresh"] = 0.25
+    tr["frontend"]["keyframe_thresh"] = 0.15
     tr["frontend"]["window"] = 10
     tr["frontend"]["max_factors"] = 48
     tr["frontend"]["enable_loop"] = enable_loop
