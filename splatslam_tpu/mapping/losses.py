@@ -30,18 +30,37 @@ def _gaussian_window(size=11, sigma=1.5):
     return g[:, None] * g[None, :]
 
 
+def _band_matrix(n, size=11, sigma=1.5):
+    """Zero-padded 1D gaussian filtering along an axis of length n as an
+    (n, n) band matrix. The 11×11 window is separable (outer(g, g)), and
+    on TPU a band-matrix matmul runs on the MXU while a 1-channel conv
+    crawls on the VPU — measured ~25 ms/iter of map_step at smoke scale
+    for the conv form of SSIM (fwd+bwd, B=8)."""
+    import numpy as np
+    x = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    idx = np.arange(n)
+    off = idx[None, :] - idx[:, None] + size // 2     # window tap index
+    band = np.where((off >= 0) & (off < size), g[np.clip(off, 0, size - 1)],
+                    0.0).astype(np.float32)
+    return band                                        # np: HLO literal
+
+
 def ssim(img1, img2, window_size=11):
-    """SSIM over (H, W, C) images in [0,1] (loss_utils.py:61-101 parity)."""
-    C = img1.shape[-1]
-    win = _gaussian_window(window_size)
-    win = win[:, :, None, None]                       # HWIO, per-channel
+    """SSIM over (H, W, C) images in [0,1] (loss_utils.py:61-101 parity:
+    zero-padded 11×11 gaussian window, matching torch conv2d padding=5)."""
+    H, W = img1.shape[0], img1.shape[1]
+    A_h = jnp.asarray(_band_matrix(H, window_size))    # rows filter
+    A_w = jnp.asarray(_band_matrix(W, window_size))    # cols filter
 
     def filt(x):
-        x = x.transpose(2, 0, 1)[:, None]             # (C,1,H,W)
-        k = win.transpose(3, 2, 0, 1)                 # (1,1,h,w)
-        out = jax.lax.conv_general_dilated(
-            x, k, (1, 1), [(window_size // 2,) * 2] * 2)
-        return out[:, 0].transpose(1, 2, 0)
+        # (H,W,C): two MXU matmuls — filter rows, then columns
+        C = x.shape[-1]
+        t = (A_h @ x.reshape(H, W * C).astype(jnp.float32)).reshape(H, W, C)
+        t = jnp.einsum("wv,hvc->hwc", A_w, t,
+                       preferred_element_type=jnp.float32)
+        return t
 
     mu1 = filt(img1)
     mu2 = filt(img2)

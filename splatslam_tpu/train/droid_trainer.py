@@ -145,9 +145,67 @@ def make_train_step(tx, iters: int = 4):
     return train_step
 
 
+class _Prefetcher:
+    """Host-side batch producer: overlaps procedural scene rendering
+    (numpy, seconds per batch at 240x320) with the device step. Workers
+    draw a geometry bucket per batch; the consumer pops ready batches.
+    Determinism: each worker seeds from (seed, worker_id) — batch order
+    is not reproducible across thread schedules, acceptable for this
+    self-training use (the reference's torch DataLoader workers have the
+    same property)."""
+
+    def __init__(self, make_fn, buckets, seed, batch, n_workers=2, depth=4):
+        import queue
+        import threading
+        self.q = queue.Queue(maxsize=depth)
+        self.stop = threading.Event()
+
+        def work(wid):
+            rng = np.random.RandomState((seed * 97 + wid) % (1 << 31))
+            while not self.stop.is_set():
+                Hb, Wb, fxb = buckets[rng.randint(len(buckets))]
+                item = make_fn(rng, batch, Hb, Wb, fxb)
+                while not self.stop.is_set():
+                    try:
+                        self.q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self.threads = [threading.Thread(target=work, args=(w,), daemon=True)
+                        for w in range(n_workers)]
+        for t in self.threads:
+            t.start()
+
+    def get(self):
+        return self.q.get()
+
+    def close(self):
+        self.stop.set()
+        # drain so producers blocked on put() can observe stop
+        try:
+            while True:
+                self.q.get_nowait()
+        except Exception:
+            pass
+        # join before interpreter teardown: a worker mid-render at exit
+        # dies inside jax dispatch ("FATAL: exception not rethrown")
+        for t in self.threads:
+            t.join(timeout=30.0)
+
+
+# Geometry buckets for training: the tracker must be accurate at the
+# resolutions the SLAM actually runs (240x320 @ fx~200 for the Synthetic
+# bench, 340x600 @ fx~580 downscaled for Replica ~ similar 1/8-res flow
+# stats). Training only at 96x128/fx<=144 (rounds 1-2) left the net with
+# a ~0.45 px EPE floor at bench geometry — flows there are 2-3x larger
+# than anything it saw.
+FLOW_BUCKETS = ((96, 128, 80.0), (240, 320, 200.0))
+
+
 def train(steps=2000, batch=4, H=96, W=128, lr=2e-4, seed=0,
           ckpt_path="pretrained/droid_selftrained.msgpack", log_every=25,
-          params=None):
+          params=None, buckets=None, iters=8):
     """Train and save params (flax serialization msgpack)."""
     from flax import serialization
     from ..models.weights import init_params
@@ -155,27 +213,51 @@ def train(steps=2000, batch=4, H=96, W=128, lr=2e-4, seed=0,
     rng = np.random.RandomState(seed)
     if params is None:
         params = init_params(jax.random.PRNGKey(seed), H=H, W=W)
+    # Clipping semantics deviate from the reference DELIBERATELY: the
+    # reference registers a backward hook that zeroes per-ELEMENT grads
+    # with |g| > 0.01 (and NaNs) inside the update module
+    # (glorie_slam/modules/droid_net/clipping.py:19-40) — a remedy for
+    # exploding BA backprop on its training rig, tuned to its scale and
+    # unroll depth. For a from-scratch net, global-norm clipping is the
+    # standard choice: it preserves gradient direction instead of
+    # flattening any step where many elements exceed a fixed 0.01 cut.
+    # The two rules are NOT equivalent training dynamics; if a converted
+    # reference checkpoint is ever fine-tuned here, revisit.
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(optax.cosine_decay_schedule(lr, steps,
                                                              0.05)))
     opt_state = tx.init(params)
-    step_fn = make_train_step(tx)
+    step_fn = make_train_step(tx, iters=iters)
     history = []
-    for step in range(steps):
-        img1, img2, flow, valid = make_pair_batch(rng, batch, H, W)
-        params, opt_state, m = step_fn(params, opt_state, img1, img2,
-                                       flow, valid)
-        if step % log_every == 0 or step == steps - 1:
-            print(f"step {step}: loss {float(m['loss']):.4f} "
-                  f"epe {float(m['epe']):.3f} px "
-                  f"gnorm {float(m['gnorm']):.2f}", flush=True)
-            history.append(float(m["epe"]))
-    if ckpt_path:
+    if buckets is None:
+        buckets = [(H, W, 80.0)]
+    pre = _Prefetcher(make_pair_batch, buckets, seed, batch)
+
+    def save(p):
+        if not ckpt_path:
+            return
         import os
         os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
         with open(ckpt_path, "wb") as f:
-            f.write(serialization.to_bytes(params))
-        print(f"saved {ckpt_path}")
+            f.write(serialization.to_bytes(p))
+        print(f"saved {ckpt_path}", flush=True)
+
+    try:
+        for step in range(steps):
+            img1, img2, flow, valid = pre.get()
+            params, opt_state, m = step_fn(params, opt_state, img1, img2,
+                                           flow, valid)
+            if step % log_every == 0 or step == steps - 1:
+                print(f"step {step}: loss {float(m['loss']):.4f} "
+                      f"epe {float(m['epe']):.3f} px "
+                      f"({img1.shape[1]}x{img1.shape[2]}) "
+                      f"gnorm {float(m['gnorm']):.2f}", flush=True)
+                history.append(float(m["epe"]))
+            if step and step % 500 == 0:
+                save(jax.device_get(params))
+    finally:
+        pre.close()
+    save(params)
     return params, history
 
 
@@ -351,7 +433,7 @@ def make_dba_train_step(tx, N: int = 7, iters: int = 8, gamma: float = 0.9,
 def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
               seed=1, init_ckpt="pretrained/droid_selftrained.msgpack",
               ckpt_path="pretrained/droid_dba.msgpack",
-              log_every=20, params=None):
+              log_every=20, params=None, buckets=None):
     """Fine-tune the update operator through the BA layer.
 
     Starts from the flow-pretrained checkpoint (stage 1) when present —
@@ -368,6 +450,8 @@ def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
             print(f"init from {init_ckpt}")
         else:
             params = init_params(jax.random.PRNGKey(seed), H=H, W=W)
+    # global-norm clip, not the reference's per-element 0.01 zeroing —
+    # see the rationale at train()'s optimizer above
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(optax.cosine_decay_schedule(lr, steps,
                                                              0.05)))
@@ -383,20 +467,29 @@ def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
             f.write(serialization.to_bytes(p))
         print(f"saved {ckpt_path}", flush=True)
 
-    for step in range(steps):
-        imgs, disps_gt, poses_gt, intr8 = make_seq_batch(
-            rng, batch, N, H, W)
-        params, opt_state, m = step_fn(params, opt_state, imgs, disps_gt,
-                                       poses_gt, intr8)
-        if step % log_every == 0 or step == steps - 1:
-            print(f"step {step}: loss {float(m['loss']):.4f} "
-                  f"ate {float(m['ate']):.4f} "
-                  f"gnorm {float(m['gnorm']):.2f}", flush=True)
-            history.append(float(m["ate"]))
-        if step and step % 200 == 0:
-            # periodic checkpoint: a killed long run keeps its progress.
-            # donate_argnums consumed the old params buffer, so serialize
-            # the live one before the next step overwrites it
-            save(jax.device_get(params))
+    if buckets is None:
+        buckets = [(H, W, 80.0)]
+    pre = _Prefetcher(
+        lambda r, b, Hb, Wb, fxb: make_seq_batch(r, b, N, Hb, Wb, fx=fxb),
+        buckets, seed, batch)
+    try:
+        for step in range(steps):
+            imgs, disps_gt, poses_gt, intr8 = pre.get()
+            params, opt_state, m = step_fn(params, opt_state, imgs,
+                                           disps_gt, poses_gt, intr8)
+            if step % log_every == 0 or step == steps - 1:
+                print(f"step {step}: loss {float(m['loss']):.4f} "
+                      f"ate {float(m['ate']):.4f} "
+                      f"({imgs.shape[2]}x{imgs.shape[3]}) "
+                      f"gnorm {float(m['gnorm']):.2f}", flush=True)
+                history.append(float(m["ate"]))
+            if step and step % 200 == 0:
+                # periodic checkpoint: a killed long run keeps its
+                # progress. donate_argnums consumed the old params
+                # buffer, so serialize the live one before the next
+                # step overwrites it
+                save(jax.device_get(params))
+    finally:
+        pre.close()
     save(params)
     return params, history

@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--cams", type=int, default=12)
     ap.add_argument("--hw", type=str, default="320,640")
     ap.add_argument("--K", type=int, default=256)
+    ap.add_argument("--ssim", action="store_true",
+                    help="use_ssim=True in map_step (production map() path)")
+    ap.add_argument("--opt-poses", action="store_true",
+                    help="opt_poses=True (tau grads + retraction)")
+    ap.add_argument("--dense", action="store_true",
+                    help="cluster the cloud so tiles run near K contributors "
+                         "(real-scene occupancy; default cloud is sparse)")
     args = ap.parse_args()
     H, W = map(int, args.hw.split(","))
     B = args.cams
@@ -65,11 +72,14 @@ def main():
     C = args.gaussians
     st = G.make_state(C)
     n_alive = C // 2
+    # --dense: tighter cluster + bigger splats → tiles near K occupancy
+    spread = 0.6 if args.dense else 2.0
+    size = 0.08 if args.dense else 0.03
     new = dict(xyz=jnp.concatenate(
-        [jax.random.normal(key, (n_alive, 2)) * 2.0,
+        [jax.random.normal(key, (n_alive, 2)) * spread,
          2.0 + jax.random.uniform(key, (n_alive, 1)) * 2.0], -1),
         color=jax.random.uniform(key, (n_alive, 3)),
-        scales=jnp.log(jnp.full((n_alive, 3), 0.03)),
+        scales=jnp.log(jnp.full((n_alive, 3), size)),
         valid=jnp.ones(n_alive, bool), count=jnp.asarray(n_alive))
     st = G.insert_points(st, new, 0)
     intr = jnp.asarray([W * 15 / 16.0, W * 15 / 16.0, W / 2.0, H / 2.0])
@@ -158,23 +168,28 @@ def main():
     tau_state = (jnp.zeros((B, 6)), jnp.zeros((B, 6)))
     ones_b = jnp.ones((B,), bool)
 
+    use_ssim = args.ssim
+    opt_poses = args.opt_poses
+    pose_mask = jnp.ones((B,), bool) if opt_poses else jnp.zeros((B,), bool)
+
     def step():
         return map_step(st, exp_state, tau_state, w2cs, imgs, deps, expo,
-                        ones_b, ones_b, jnp.zeros((B,), bool), intr, lrs,
+                        ones_b, ones_b, pose_mask, intr, lrs,
                         (jnp.asarray(5e-4), jnp.asarray(1.5e-3)),
                         jnp.asarray(1), jnp.asarray(10.0),
-                        H=H, W=W, K=K, use_ssim=False, alpha=0.8)
+                        H=H, W=W, K=K, use_ssim=use_ssim, alpha=0.8,
+                        opt_poses=opt_poses)
     results["map_step_ms"] = timeit(step, n=3) * 1e3
 
     # 9. the hot-loop configuration: prebinned lists + no touch counts
     def step_hot():
         return map_step(st, exp_state, tau_state, w2cs, imgs, deps, expo,
-                        ones_b, ones_b, jnp.zeros((B,), bool), intr, lrs,
+                        ones_b, ones_b, pose_mask, intr, lrs,
                         (jnp.asarray(5e-4), jnp.asarray(1.5e-3)),
                         jnp.asarray(1), jnp.asarray(10.0),
                         tile_ids, tile_counts,
-                        H=H, W=W, K=K, use_ssim=False, alpha=0.8,
-                        want_touched=False)
+                        H=H, W=W, K=K, use_ssim=use_ssim, alpha=0.8,
+                        opt_poses=opt_poses, want_touched=False)
     results["map_step_hot_ms"] = timeit(step_hot, n=3) * 1e3
 
     # 10. fused loop: amortized per-iteration cost of map_step_n
@@ -184,14 +199,21 @@ def main():
     def loop16():
         return map_step_n(
             st, exp_state, tau_state, w2cs, imgs, deps, expo,
-            ones_b, ones_b, jnp.zeros((B,), bool), intr, lrs,
+            ones_b, ones_b, pose_mask, intr, lrs,
             (jnp.asarray(5e-4), jnp.asarray(1.5e-3)),
             jnp.asarray(0), jnp.asarray(NIT), jnp.asarray(10.0),
-            H=H, W=W, K=K, use_ssim=False, alpha=0.8)
+            H=H, W=W, K=K, use_ssim=use_ssim, alpha=0.8,
+            opt_poses=opt_poses)
     results["map_step_n_periter_ms"] = timeit(loop16, n=2) * 1e3 / NIT
 
     out = {k: round(v, 2) for k, v in results.items()}
-    out.update(dict(B=B, H=H, W=W, K=K, capacity=C, alive=n_alive))
+    out.update(dict(B=B, H=H, W=W, K=K, capacity=C, alive=n_alive,
+                    ssim=use_ssim, opt_poses=opt_poses, dense=args.dense))
+    # tile occupancy of this synthetic cloud (how close to the K cap the
+    # compositor actually runs — sparse clouds understate real cost)
+    cnt = np.asarray(tile_counts)
+    out["tile_count_mean"] = round(float(cnt.mean()), 1)
+    out["tile_count_p95"] = round(float(np.percentile(cnt, 95)), 1)
     if args.json:
         print(json.dumps(out))
     else:
