@@ -179,7 +179,8 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
                   gt_poses, gt_disps, net, target_act, weight_act,
                   target_in, weight_in, ii_act, jj_act, edge_valid_act,
                   in_valid, ix, uniq_act, plan, damping_maps, mv_thresh,
-                  EP, mono_thres, n_rounds, stage2_flags, *, num_kf: int,
+                  EP, mono_thres, n_rounds, stage2_flags, cull_ij,
+                  cull_beta, *, num_kf: int,
                   use_net: bool, mv_visible_num: int,
                   use_mono_thres: bool = False, do_upsample: bool = True):
     """N tracker update rounds — GRU + DSPO BA + upsample — in ONE program.
@@ -205,6 +206,14 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
     ONCE per shape bucket, not once per schedule.
     Per-keyframe damping lives in damping_maps (buffer-indexed);
     plan.kx rows index straight into it.
+
+    cull_ij (2,) int32 + cull_beta: the frontend's keyframe-cull check
+    d(t1-2, t1-1) (frontend.py:85-86) computed on the POST-round poses
+    inside this same program — the standalone distance kernel cost a
+    separate dispatch chain + its own device→host sync per keyframe.
+    Returned as the last output (bidirectional mean); callers that don't
+    cull pass (0, 0) and ignore it (two h×w reprojections ≈ free next
+    to one GRU round).
     """
     from ..ops.upsample import upsample_disp, upsample_disp_uniform
     from ..ops import lie
@@ -387,8 +396,17 @@ def _fused_rounds(params, poses, disps, disps_up, intrinsics, fmaps, inps,
             up = upsample_disp_uniform(disps[uniq_safe])
         disps_up = disps_up.at[uniq_act].set(up, mode="drop")
 
+    # keyframe-cull distance on the post-round poses (see docstring)
+    from .depth_video import frame_distance_kernel
+    ci = cull_ij[:1]
+    cj = cull_ij[1:]
+    cull_d = 0.5 * (
+        frame_distance_kernel(poses, disps, intrinsics, ci, cj, cull_beta)
+        + frame_distance_kernel(poses, disps, intrinsics, cj, ci,
+                                cull_beta))[0]
+
     return (poses, disps, disps_up, net_out, target_act, weight_act,
-            damping_maps, depth_scale, depth_shift, valid_small)
+            damping_maps, depth_scale, depth_shift, valid_small, cull_d)
 
 
 @partial(jax.jit, static_argnames=("num_kf",))
@@ -733,15 +751,21 @@ class FactorGraph:
         self.age += 1
 
     def update_rounds(self, opt_types, t0=None, t1=None, use_inactive=False,
-                      EP=1e-7, upsample=True):
+                      EP=1e-7, upsample=True, cull_pair=None,
+                      cull_beta=0.3):
         """Run len(opt_types) update rounds in ONE device dispatch.
 
         mono_thres bad-mono edge filtering runs ON DEVICE inside
         _fused_rounds (per-edge weight mask), so every configuration —
         including ScanNet/TUM defaults with mono_thres set — takes the
-        fused path."""
+        fused path.
+
+        cull_pair=(i, j): also compute the frontend's keyframe-cull
+        distance d(i, j) (bidirectional) on the post-round state inside
+        the same program; returned as a DEVICE scalar (the caller pulls
+        it — one sync instead of a second dispatch chain + sync)."""
         if len(self.ii) == 0:
-            return
+            return None
         if self.video.BA_type != "DSPO":
             opt_types = tuple("pose_depth" for _ in opt_types)
 
@@ -749,13 +773,16 @@ class FactorGraph:
         # (one compile per shape bucket, any schedule); only schedules
         # beyond MAX_ROUNDS need chunked dispatches
         if len(opt_types) > MAX_ROUNDS:
+            d = None
             for c0 in range(0, len(opt_types), MAX_ROUNDS):
                 chunk = opt_types[c0:c0 + MAX_ROUNDS]
                 last = c0 + MAX_ROUNDS >= len(opt_types)
-                self.update_rounds(chunk, t0=t0, t1=t1,
-                                   use_inactive=use_inactive, EP=EP,
-                                   upsample=upsample and last)
-            return
+                d = self.update_rounds(chunk, t0=t0, t1=t1,
+                                       use_inactive=use_inactive, EP=EP,
+                                       upsample=upsample and last,
+                                       cull_pair=cull_pair if last else None,
+                                       cull_beta=cull_beta)
+            return d
 
         ii_p, jj_p, valid, ix, uniq, Mk = self._padded_edges()
         # pad uniq to the keyframe bucket with an OOB sentinel (dropped in
@@ -813,8 +840,10 @@ class FactorGraph:
         s = self.video.state
         mv_cfg = self.video.cfg["tracking"]["multiview_filter"]
 
+        cull_ij = np.asarray(cull_pair if cull_pair is not None else (0, 0),
+                             np.int32)
         (poses, disps, disps_up, net_out, target_act, weight_act,
-         damping_maps, depth_scale, depth_shift, valid_small) = \
+         damping_maps, depth_scale, depth_shift, valid_small, cull_d) = \
             _fused_rounds(
                 self.params, s.poses, s.disps, s.disps_up, self.video.intr0,
                 s.fmaps, s.inps, s.mono_disps, s.depth_scale,
@@ -835,6 +864,7 @@ class FactorGraph:
                 jnp.asarray(np.asarray(
                     [t == "depth_scale" for t in opt_types]
                     + [False] * (MAX_ROUNDS - len(opt_types)), bool)),
+                jnp.asarray(cull_ij), jnp.asarray(cull_beta, jnp.float32),
                 num_kf=Mk, use_net=not self.oracle,
                 mv_visible_num=mv_cfg["visible_num"],
                 use_mono_thres=bool(self.video.mono_thres),
@@ -864,6 +894,7 @@ class FactorGraph:
         per_round = (2.8e6 if not self.oracle else 2e3) * n_edges * px \
             + 2 * 1.5e3 * plan.ii.shape[0] * px
         self.video.flops_tracking += per_round * len(opt_types)
+        return cull_d if cull_pair is not None else None
 
     def update_rounds_motion_only(self, rounds, t0, t1):
         """`rounds` motion-only update rounds (GRU + MoBA) in ONE device

@@ -78,16 +78,21 @@ class Frontend:
                 thresh=self.frontend_thresh, beta=self.beta, remove=True)
 
         with T("fe.rounds"):
-            self.graph.update_rounds(
+            # the keyframe-cull distance d(t1-2, t1-1) rides the fused
+            # rounds program (frontend.py:85-86 ran it as a separate
+            # kernel + its own device→host sync per keyframe)
+            d = self.graph.update_rounds(
                 tuple("pose_depth" if itr % 2 == 0 else "depth_scale"
                       for itr in range(self.iters1)),
-                None, None, use_inactive=True)
+                None, None, use_inactive=True,
+                cull_pair=(self.t1 - 2, self.t1 - 1), cull_beta=self.beta)
 
         with T("fe.dist"):
-            d = self.video.distance([self.t1 - 2], [self.t1 - 1],
-                                    beta=self.beta, bidirectional=True)
+            d = float(d) if d is not None else float(
+                self.video.distance([self.t1 - 2], [self.t1 - 1],
+                                    beta=self.beta, bidirectional=True)[0])
 
-        if float(d[0]) < self.keyframe_thresh:
+        if d < self.keyframe_thresh:
             with T("fe.rm_kf"):
                 self.graph.rm_keyframe(self.t1 - 1)
                 self.video.counter -= 1
