@@ -717,8 +717,8 @@ class Mapper:
         """
         if not cams:
             return None
-        if per_step and (self.mesh is not None or densify_cfg is not None):
-            per_step = False     # per-step rows can't shard a "cam" mesh
+        if per_step and densify_cfg is not None:
+            per_step = False     # densify gates need batched host events
         w2cs, imgs, deps, expo, use_exp, valid = self._stack_cams(cams)
         B = w2cs.shape[0]
         if per_step and (B != len(cams) or iters != B):
@@ -945,14 +945,22 @@ class Mapper:
         # variant (refine_batch > 1, per-dispatch frames shared across S
         # steps) measured 0.85 dB PSNR BELOW this schedule at matched
         # Adam step counts (tools/refine_sampling_ab.py), so it is opt-in
-        # only (e.g. under a camera mesh, where per-step rows can't
-        # shard).
+        # only (refine_batch > 1). The faithful schedule also runs under
+        # a camera mesh: the S per-step rows shard the "cam" axis and
+        # each step's single camera is gathered by GSPMD.
         B = min(int(self.cfg["mapping"].get("refine_batch", 1)), len(vps))
         S = int(self.cfg["mapping"].get("refine_fused_steps", 8))
-        per_step = (B == 1 and self.mesh is None)
+        per_step = (B == 1)
         if per_step:
             from ..ops.ba import _geom_bucket
             S = _geom_bucket(S, 1)   # per-step rows must fill the bucket
+            if self.mesh is not None:
+                # per-step rows ride the "cam" mesh axis as the batch dim
+                # (each step's single camera is gathered from its shard by
+                # GSPMD — dynamic_slice over a sharded axis); S must fill
+                # the mesh bucket so the row stack shards evenly.
+                import math
+                S = _round_up(S, math.lcm(4, self.mesh_size))
         done = 0
         while done < iters:
             if per_step:

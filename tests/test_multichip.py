@@ -29,11 +29,17 @@ def test_entry_compiles():
         jax.block_until_ready(out)
 
 
-def test_mapper_mesh_step_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("per_step", [False, True])
+def test_mapper_mesh_step_matches_single_device(per_step):
     """VERDICT r1 #6: the production mapper's mesh option must be
     numerically equivalent to the single-device path — one fused
     map_step_n segment, same inputs, 8-device "cam" mesh vs default
-    placement."""
+    placement. per_step=True additionally covers final_refine's
+    faithful one-camera-per-step schedule sharded over "cam"
+    (VERDICT r2 item 10)."""
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -83,9 +89,11 @@ def test_mapper_mesh_step_matches_single_device():
             (put_c(zeros6[0]), put_c(zeros6[1])),
             put_c(w2cs), put_c(imgs), put_c(deps), put_c(expo),
             put_c(ones_b), put_c(ones_b), put_c(pose_mask), intr,
-            lrs, cam_lrs, jnp.asarray(0), jnp.asarray(4),
+            lrs, cam_lrs, jnp.asarray(0),
+            jnp.asarray(B if per_step else 4),
             jnp.asarray(10.0),
-            H=H, W=W, K=K, use_ssim=False, alpha=0.8)
+            H=H, W=W, K=K, use_ssim=False, alpha=0.8,
+            per_step_cams=per_step)
         st2, _, _, _, _, _, n_touched, loss = out
         return (np.asarray(st2.xyz), np.asarray(st2.opacity),
                 np.asarray(n_touched), float(loss))
@@ -105,8 +113,8 @@ def test_slam_runs_on_production_camera_mesh(tmp_path):
     mesh: the PRODUCTION mapper loop (init, window opt, final refine)
     must run sharded over the "cam" axis and finish with finite
     metrics. (map_step_n numerical equivalence vs single device is
-    asserted separately above; final_refine under a mesh uses the
-    documented B-batch schedule.)"""
+    asserted separately above; final_refine keeps the faithful
+    one-frame-per-step schedule, its rows sharded over "cam".)"""
     from splatslam_tpu.config import load_config
     from splatslam_tpu.slam import SLAM
 
