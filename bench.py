@@ -156,7 +156,16 @@ def run_mode(mode: str, n_frames: int, warm: int):
     if os.environ.get("BENCH_PRIME", "1") != "0":
         import copy
         pcfg = copy.deepcopy(cfg)
-        pn = min(14, n_frames)
+        # FULL-length prime: the geometric shape buckets (keyframe count,
+        # BA edges, factor-graph pools) cross boundaries throughout the
+        # run, and every first touch of a bucket pays a persistent-cache
+        # load (seconds over the tunnel) or a remote compile (tens of
+        # seconds). A 14-frame prime left frames 15+ of the measured loop
+        # eating those stalls (measured: frames 1-14 at 1.3 FPS, then a
+        # ~280 s stall band). Prime cost is dominated by the one-time
+        # session establishment, not frames, so prime the whole schedule.
+        pn = int(os.environ.get("BENCH_PRIME_FRAMES", str(n_frames)))
+        pn = min(pn, n_frames)
         pcfg["max_frames"] = pn
         pcfg["synthetic"]["n_frames"] = pn
         pcfg["data"]["output"] = cfg["data"]["output"] + "_prime"
