@@ -28,6 +28,10 @@ BASELINE.json `published` is empty.)
 Env knobs: BENCH_FRAMES (60), BENCH_WARM (16), BENCH_REFINE (128),
 BENCH_MODES ("oracle,learned" | "oracle" | "learned"),
 BENCH_PHASES=1 (per-frame phase dicts), BENCH_OUT, BENCH_TUNNEL_PROBE_S.
+BENCH_PRIME_FRAMES caps the prime pass length; the default full-length
+prime roughly DOUBLES bench wall time (it replays the whole schedule so
+every shape bucket is warm) — results carry prime_ok/prime_s so cold
+runs are distinguishable.
 """
 
 import json
@@ -153,6 +157,7 @@ def run_mode(mode: str, n_frames: int, warm: int):
     # setup, not in the measured frames. Module-level @jax.jit caches are
     # shared across SLAM instances, so the measured run starts warm.
     prime_s = 0.0
+    prime_ok = None
     if os.environ.get("BENCH_PRIME", "1") != "0":
         import copy
         pcfg = copy.deepcopy(cfg)
@@ -171,9 +176,14 @@ def run_mode(mode: str, n_frames: int, warm: int):
         pcfg["data"]["output"] = cfg["data"]["output"] + "_prime"
         pcfg["mapping"]["final_refine_iters"] = 8
         t_p = time.time()
+        prime_ok = True
         try:
             SLAM(pcfg).run()
         except Exception as e:
+            # a failed prime means the measured run starts COLD — the
+            # result line carries prime_ok so such numbers are never
+            # silently compared against warm-prime runs
+            prime_ok = False
             print(json.dumps({"event": "prime_failed",
                               "error": f"{type(e).__name__}: {e}"}),
                   file=sys.stderr, flush=True)
@@ -226,8 +236,9 @@ def run_mode(mode: str, n_frames: int, warm: int):
         out["mfu"] = round(fl / wall / 394e12, 5)
     if isinstance(ate_stats, dict) and "rmse" in ate_stats:
         out["kf_ate_rmse"] = round(float(ate_stats["rmse"]), 6)
-    if prime_s:
+    if prime_ok is not None:
         out["prime_s"] = prime_s
+        out["prime_ok"] = prime_ok
     if state["probe"]:
         out["probe"] = state["probe"]
     return out

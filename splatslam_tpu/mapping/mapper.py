@@ -58,6 +58,91 @@ def _eval_render(st, w2cs, intrinsics, *, H, W, K, sh_degree, max_span):
         jnp.zeros(3), H=H, W=W, K=K, max_span=max_span)
 
 
+@partial(jax.jit, static_argnames=("H", "W", "K", "sh_degree", "max_span"))
+def _fuse_and_gate(st, disps_up, valid_mask, poses, depth_scale,
+                   depth_shift, mono, has_mono, idx, sel, intrinsics,
+                   occ_vis, win_uids,
+                   *, H, W, K, sh_degree, max_span):
+    """process_keyframe's per-keyframe prologue as ONE program + ONE pull:
+    proxy-depth fusion of the new keyframe (get_w2c_and_depth,
+    mapper.py:258-301) fused with the keyframe-gate render AND the
+    visibility-overlap counts the keyframe decisions need (median depth +
+    inter/union vs the window's occ visibility, mapper.py:744-831 +
+    939-989). Previously two programs with a device→host sync each plus
+    a full (C,)-mask pull; the link RTT per sync is the dominant
+    per-keyframe cost on the tunneled TPU.
+
+    occ_vis: (buffer+2, C) bool device visibility table (row buffer is
+    the all-False read pad; row buffer+1 is never written); win_uids
+    (Wmax,) int32 current window uids padded with `buffer`.
+
+    Returns (depth_scale', depth_shift', fused_depth (H,W), small f32) —
+    small = [w2c 16f | invalid | median | cur_vis_sum |
+             inter(Wmax) | occ_sum(Wmax)], ONE host fetch.
+    """
+    from . import fusion
+    fused, w2c, sc, sh, invalid = fusion.fuse_proxy_depth(
+        disps_up[idx][None], valid_mask[idx][None], poses[idx][None],
+        mono[None], has_mono[None])
+    depth_scale, depth_shift, _ = _refresh_writeback(
+        depth_scale, depth_shift, sc, sh, sel[None], w2c, invalid)
+    out = _eval_render(st, w2c, intrinsics, H=H, W=W, K=K,
+                       sh_degree=sh_degree, max_span=max_span)
+    med = get_median_depth(out.depth[0], out.alpha[0])
+    cur = out.n_touched[0] > 0
+    rows = occ_vis[win_uids]                             # (Wmax, C)
+    inter = jnp.sum(rows & cur[None], axis=1).astype(jnp.float32)
+    osum = jnp.sum(rows, axis=1).astype(jnp.float32)
+    small = jnp.concatenate(
+        [w2c.reshape(16), invalid.astype(jnp.float32),
+         jnp.reshape(med, (1,)).astype(jnp.float32),
+         jnp.reshape(jnp.sum(cur), (1,)).astype(jnp.float32),
+         inter, osum])
+    return depth_scale, depth_shift, fused[0], small
+
+
+@jax.jit
+def _occ_scatter(occ_vis, n_touched, uids):
+    """Write per-camera visibility rows into the device table. Pad rows
+    carry an OOB uid (buffer+2) and are dropped."""
+    return occ_vis.at[uids].set(n_touched > 0, mode="drop")
+
+
+@jax.jit
+def _occ_scatter_and_prune(st, occ_vis, n_touched, uids, win_uids,
+                           min_kf_id):
+    """The prune pass's epilogue fused on device (mapper.py:502-557):
+    scatter the fresh window visibility, reduce per-Gaussian observation
+    counts over the window, and prune Gaussians observed <=3 times among
+    the recent keyframes — no (B,C) mask pull, no n_obs upload."""
+    occ_vis = _occ_scatter(occ_vis, n_touched, uids)
+    n_obs = jnp.sum(occ_vis[win_uids].astype(jnp.int32), axis=0)
+    to_prune = (n_obs <= 3) & (st.kf_id >= min_kf_id) & st.alive
+    return G.prune_by_mask(st, to_prune), occ_vis
+
+
+@jax.jit
+def _pack_cam_outputs(expo, exp_m, exp_v, w2cs, n_touched, alive):
+    """_run_iters' per-camera host pull as ONE program: [expo 2 | adam m
+    2 | adam v 2 | w2c 16 | Σ n_touched | Σ alive] per row."""
+    B = expo.shape[0]
+    blend = jnp.broadcast_to(
+        jnp.sum(n_touched).astype(jnp.float32)[None, None], (B, 1))
+    al = jnp.broadcast_to(
+        jnp.sum(alive).astype(jnp.float32)[None, None], (B, 1))
+    return jnp.concatenate(
+        [expo, exp_m, exp_v, w2cs.reshape(B, 16), blend, al], axis=1)
+
+
+@jax.jit
+def _grow_occ(occ_vis):
+    """Double the Gaussian-capacity axis of the visibility table (keeps
+    pace with G.grow_capacity)."""
+    R, C = occ_vis.shape
+    out = jnp.zeros((R, 2 * C), occ_vis.dtype)
+    return out.at[:, :C].set(occ_vis)
+
+
 @jax.jit
 def _refresh_writeback(depth_scale, depth_shift, sc, sh, sel, w2c,
                        invalid):
@@ -480,12 +565,21 @@ class Mapper:
             else m["model_params"]["sh_degree"]
         cap = m.get("capacity", 1 << 17)
         self.st = G.make_state(cap, sh_degree=self.sh_degree)
+        # device-resident per-keyframe visibility table (reference
+        # mapper.py keeps occ_aware_visibility as host tensors; pulling
+        # the (B,C) masks cost two bulk fetches per mapped keyframe over
+        # the tunnel). Row layout: [0, buffer) keyframe uids, row buffer
+        # = all-False read pad, row buffer+1 = write-drop target.
+        self.occ_vis_dev = jnp.zeros((video.buffer + 2, cap), bool)
+        # host upper bound of the alive-Gaussian count (refreshed from
+        # the per-map() packed pull; add_next_kf's capacity check used to
+        # pay its own device→host sync per keyframe)
+        self._alive_ub = 0
 
         self.iteration_count = 0
         self.cameras: dict[int, Camera] = {}
         self.viewpoints: dict[int, Camera] = {}
         self.current_window: list[int] = []
-        self.occ_aware_visibility: dict[int, np.ndarray] = {}
         self.depth_dict: dict[int, np.ndarray] = {}
         self.is_kf: dict[int, bool] = {}
         self.keyframe_idxs: list[int] = []
@@ -531,7 +625,10 @@ class Mapper:
         from . import fusion
         from ..ops.ba import _geom_bucket
         D = len(pairs)
-        Dp = _geom_bucket(D, 8)
+        # base 1: the every-keyframe map.fuse path refreshes a SINGLE
+        # pair — a base-8 bucket ran the full-res fusion pyramid on 8
+        # rows (7 of them pads) per keyframe
+        Dp = _geom_bucket(D, 1)
         idx_list = [v for v, _ in pairs] + [pairs[0][0]] * (Dp - D)
         monos, has = [], []
         for _, f in pairs:
@@ -591,13 +688,15 @@ class Mapper:
         new = G.anchor_points(sub, jnp.asarray(cam.image), depth_dev,
                               cam.w2c, self.intrinsics, down, point_size,
                               max_new)
-        # ONE packed pull for the two capacity scalars (count, num_alive)
-        packed = np.asarray(jnp.stack(
-            [new["count"].astype(jnp.float32),
-             jnp.sum(self.st.alive).astype(jnp.float32)]))
-        need = int(packed[1]) + int(packed[0])
-        while need > 0.9 * self.st.xyz.shape[0]:
+        # capacity check from the HOST alive upper bound (_alive_ub:
+        # refreshed by every map() packed pull, bumped by max_new per
+        # insert) — the former (count, alive) pull cost a link round trip
+        # per keyframe. The bound only overestimates (prunes shrink alive
+        # between pulls), so growth never lags the true need.
+        self._alive_ub += max_new
+        while self._alive_ub > 0.9 * self.st.xyz.shape[0]:
             self.st = G.grow_capacity(self.st)
+            self.occ_vis_dev = _grow_occ(self.occ_vis_dev)
         self.st = G.insert_points(self.st, new, video_idx)
 
     # -- rendering ----------------------------------------------------------
@@ -813,10 +912,11 @@ class Mapper:
             # The last column carries Σ n_touched — the (gaussian, pixel)
             # blend-pair count of the final iteration, the workload term
             # of the achieved-FLOPs model (bench MFU line).
-            blend = jnp.broadcast_to(
-                jnp.sum(n_touched).astype(jnp.float32)[None, None], (B, 1))
-            packed = np.asarray(jnp.concatenate(
-                [expo, exp_m, exp_v, w2cs.reshape(B, 16), blend], axis=1))
+            packed = np.asarray(_pack_cam_outputs(
+                expo, exp_m, exp_v, w2cs, n_touched, self.st.alive))
+            # refresh the host alive bound (consumed by add_next_kf's
+            # pull-free capacity check)
+            self._alive_ub = int(packed[0, 23])
             # flops model per iteration: ~110 F per blend pair (fwd alpha
             # eval + composite ≈ 30, bwd suffix-scan grads ≈ 80), plus
             # projection fwd+bwd ≈ 500 F per (camera, gaussian) row and
@@ -824,7 +924,7 @@ class Mapper:
             C_cap = self.st.xyz.shape[0]
             loss_f = 1500.0 if self.use_ssim else 200.0
             self.video.flops_mapping += float(iters) * (
-                float(packed[0, -1]) * 110.0
+                float(packed[0, 22]) * 110.0
                 + B * C_cap * 500.0 + B * self.H * self.W * loss_f)
             if store_expo:
                 for i, c in enumerate(cams):
@@ -871,8 +971,22 @@ class Mapper:
                                        self.opt["densify_from_iter"])),
             store_expo=False)
         _, n_touched, _ = out
-        self.occ_aware_visibility[video_idx] = np.asarray(n_touched[0] > 0)
+        self.occ_vis_dev = _occ_scatter(
+            self.occ_vis_dev, n_touched[:1],
+            jnp.asarray(np.asarray([video_idx], np.int32)))
         return out
+
+    def _occ_idx(self, window, nrows):
+        """(write uids (nrows,), read uids (window_size,)) for the device
+        visibility table: write pads are OOB (dropped), read pads hit the
+        all-False row `buffer`."""
+        buf = self.video.buffer
+        u = np.full(nrows, buf + 2, np.int32)
+        nw = min(len(window), nrows)   # nrows=0 → read-only caller
+        u[:nw] = window[:nw]
+        wu = np.full(self.window_size, buf, np.int32)
+        wu[:len(window)] = window
+        return (jnp.asarray(u), jnp.asarray(wu))
 
     def map(self, window, prune=False, iters=1):
         """Window optimization (mapper.py:400-614).
@@ -893,21 +1007,26 @@ class Mapper:
             cams = cams + [others[int(i)] for i in pick]
 
         if prune:
-            out = self._run_iters(cams, 1)
-            _, n_touched, _ = out
-            vis_np = np.asarray(n_touched > 0)   # ONE device pull
-            self.occ_aware_visibility = {
-                k: vis_np[i] for i, k in enumerate(window)}
-            if len(window) == self.window_size:
-                # host sum over the freshly pulled masks, ONE upload back
-                n_obs = jnp.asarray(np.sum(
-                    [self.occ_aware_visibility[k] for k in window],
-                    axis=0, dtype=np.int32))
-                if self.prune_mode == "slam":
-                    sorted_w = sorted(window, reverse=True)
-                    mask = self.st.kf_id >= sorted_w[2]
-                    to_prune = (n_obs <= 3) & mask & self.st.alive
-                    self.st = G.prune_by_mask(self.st, to_prune)
+            # The reference's prune pass renders + computes visibility but
+            # returns BEFORE optimizer.step() (mapper.py:502-520 vs :557)
+            # — so a forward-only batched render is both faithful and ~3x
+            # cheaper than a full fwd+bwd+Adam map_step here. It still
+            # counts as an iteration (mapper.py:415 increments first).
+            self.iteration_count += 1
+            out = self.render_batch([self.viewpoints[k] for k in window])
+            uids, wuids = self._occ_idx(window, out.n_touched.shape[0])
+            if len(window) == self.window_size and \
+                    self.prune_mode == "slam":
+                # visibility scatter + observation-count prune in ONE
+                # program — the reference pulls the (B,C) masks to host
+                # and uploads n_obs back (mapper.py:502-557)
+                sorted_w = sorted(window, reverse=True)
+                self.st, self.occ_vis_dev = _occ_scatter_and_prune(
+                    self.st, self.occ_vis_dev, out.n_touched, uids,
+                    wuids, np.asarray(sorted_w[2], np.int32))
+            else:
+                self.occ_vis_dev = _occ_scatter(
+                    self.occ_vis_dev, out.n_touched, uids)
             return False
 
         out = self._run_iters(
@@ -921,9 +1040,11 @@ class Mapper:
                              n_window=len(window)),
             opt_poses=self.opt_poses_enabled, n_window=len(window))
         _, n_touched, _ = out
-        vis_np = np.asarray(n_touched > 0)       # ONE device pull
-        self.occ_aware_visibility = {
-            k: vis_np[i] for i, k in enumerate(window)}
+        # window visibility stays ON DEVICE (pulling the (B,C) masks cost
+        # a bulk fetch per mapped keyframe; the decision logic only ever
+        # needs overlap COUNTS, computed in _fuse_and_gate)
+        uids, _ = self._occ_idx(window, n_touched.shape[0])
+        self.occ_vis_dev = _occ_scatter(self.occ_vis_dev, n_touched, uids)
         return True
 
     def final_refine(self, iters=26000):
@@ -952,8 +1073,10 @@ class Mapper:
         S = int(self.cfg["mapping"].get("refine_fused_steps", 8))
         per_step = (B == 1)
         if per_step:
-            from ..ops.ba import _geom_bucket
-            S = _geom_bucket(S, 1)   # per-step rows must fill the bucket
+            # per-step rows must fill the _stack_cams bucket exactly
+            # ({1} ∪ multiples of 4 on single chip), else _run_iters'
+            # bucket check rejects the stack
+            S = 1 if S == 1 else _round_up(S, 4)
             if self.mesh is not None:
                 # per-step rows ride the "cam" mesh axis as the batch dim
                 # (each step's single camera is gathered from its shard by
@@ -964,8 +1087,15 @@ class Mapper:
         done = 0
         while done < iters:
             if per_step:
-                # S independent uniform picks, one per optimizer step
-                pick = rng.randint(0, len(vps), size=S)
+                # S uniform picks, one per optimizer step. WITHOUT
+                # replacement within one dispatch when possible: duplicate
+                # rows load the same per-uid exposure Adam state and only
+                # the last row's update survives the store-back, silently
+                # dropping a step's exposure update (advisor r3).
+                if len(vps) >= S:
+                    pick = rng.choice(len(vps), size=S, replace=False)
+                else:
+                    pick = rng.randint(0, len(vps), size=S)
                 self._run_iters([vps[i] for i in pick], S, iso_weight=0.0,
                                 persist_exp_state=True, per_step=True)
             else:
@@ -976,7 +1106,11 @@ class Mapper:
 
     # -- keyframe management (mapper.py:744-831) -----------------------------
 
-    def is_keyframe(self, cur_idx, last_idx, cur_vis, occ_vis, median_depth):
+    def is_keyframe(self, cur_idx, last_idx, gate, median_depth):
+        """gate: the _fuse_and_gate count pack (cur_vis_sum, inter[k],
+        occ_sum[k] vs the current window) — the masks themselves never
+        leave the device (reference mapper.py:744-767 computes the same
+        ratio from host tensors)."""
         curr = self.cameras[cur_idx]
         last = self.cameras[last_idx]
         # host numpy: w2c are host 4×4s; a jnp round trip here costs a
@@ -986,12 +1120,16 @@ class Mapper:
                 np.asarray(last.w2c)))[:3, 3]))
         dist_check = dist > self.kf_translation * median_depth
         dist_check2 = dist > self.kf_min_translation * median_depth
-        union = np.logical_or(cur_vis, occ_vis[last_idx]).sum()
-        inter = np.logical_and(cur_vis, occ_vis[last_idx]).sum()
-        ratio = inter / max(union, 1)
+        cvs, inter, osum = gate
+        # slot 0 of the window pack is last_idx (window[0])
+        union = cvs + osum[0] - inter[0]
+        ratio = inter[0] / max(union, 1)
         return (ratio < self.kf_overlap and dist_check2) or dist_check
 
-    def add_to_window(self, cur_idx, cur_vis, occ_vis, window):
+    def add_to_window(self, cur_idx, gate, window):
+        """gate counts are aligned with `window` slots BEFORE cur_idx is
+        prepended (mapper.py:769-831)."""
+        cvs, inter, osum = gate
         N_dont_touch = 2
         window = [cur_idx] + window
         curr = self.cameras[cur_idx]
@@ -999,9 +1137,8 @@ class Mapper:
         removed = None
         for i in range(N_dont_touch, len(window)):
             k = window[i]
-            inter = np.logical_and(cur_vis, occ_vis[k]).sum()
-            denom = max(min(cur_vis.sum(), occ_vis[k].sum()), 1)
-            if inter / denom <= self.kf_cutoff:
+            denom = max(min(cvs, osum[i - 1]), 1)
+            if inter[i - 1] / denom <= self.kf_cutoff:
                 to_remove.append(k)
         if to_remove:
             window.remove(to_remove[-1])
@@ -1065,7 +1202,7 @@ class Mapper:
         if not rows:
             return
         D = len(rows)
-        Dp = _geom_bucket(D, 8)
+        Dp = _geom_bucket(D, 1)
         pad = rows[0]
         rows = rows + [pad] * (Dp - D)
         self.st = fusion.deform_points_batch(
@@ -1089,8 +1226,31 @@ class Mapper:
         self.video_idxs.append(video_idx)
 
         with T("map.fuse"):
-            depth, w2c, invalid = self.get_w2c_and_depth(
-                video_idx, frame_idx)
+            # fusion + gate render + overlap counts in ONE program, ONE
+            # small f32 pull (the gate outputs ride along even for the
+            # first keyframe / invalid fusions — an unconditional ~10 ms
+            # render is cheaper than a second compiled program + sync on
+            # the steady path)
+            mono, has = self._mono_dev(frame_idx)
+            s = self.video.state
+            sel = np.int32(video_idx if has else self.video.buffer)
+            _, wuids = self._occ_idx(self.current_window, 0)
+            (s.depth_scale, s.depth_shift, depth,
+             packed_dev) = _fuse_and_gate(
+                self.st, s.disps_up, s.valid_depth_mask, s.poses,
+                s.depth_scale, s.depth_shift, mono,
+                np.asarray(has, bool), np.int32(video_idx), sel,
+                self.intrinsics, self.occ_vis_dev, wuids,
+                H=self.H, W=self.W, K=self.K,
+                sh_degree=self.sh_degree, max_span=self.eval_max_span)
+            small = np.asarray(packed_dev)           # ONE device pull
+            w2c = small[:16].reshape(4, 4).copy()
+            invalid = bool(small[16] > 0.5) or not has
+            median_depth = float(small[17])
+            Wmax = self.window_size
+            gate = (float(small[18]),                # cur_vis count
+                    small[19:19 + Wmax],             # inter per window slot
+                    small[19 + Wmax:19 + 2 * Wmax])  # occ sums
         cam = make_camera(video_idx, color, depth, w2c)
         self.cameras[video_idx] = cam
         if invalid:
@@ -1111,36 +1271,24 @@ class Mapper:
             return True
 
         with T("map.render_gate"):
-            out = self.render(cam)
-            # ONE packed pull: [median_depth | n_touched>0] — separate
-            # fetches cost a link round trip each
-            packed = np.asarray(jnp.concatenate(
-                [jnp.reshape(get_median_depth(out.depth, out.alpha),
-                             (1,)).astype(jnp.float32),
-                 (out.n_touched > 0).astype(jnp.float32)]))
-            median_depth = float(packed[0])
             if not np.isfinite(median_depth):
                 d_np = np.asarray(depth)
                 median_depth = float(np.median(d_np[d_np > 0])) \
                     if (d_np > 0).any() else 1.0
-            cur_vis = packed[1:] > 0.5
         last_idx = self.current_window[0]
 
-        create_kf = self.is_keyframe(video_idx, last_idx, cur_vis,
-                                     self.occ_aware_visibility, median_depth)
+        create_kf = self.is_keyframe(video_idx, last_idx, gate,
+                                     median_depth)
         if len(self.current_window) < self.window_size:
-            union = np.logical_or(
-                cur_vis, self.occ_aware_visibility[last_idx]).sum()
-            inter = np.logical_and(
-                cur_vis, self.occ_aware_visibility[last_idx]).sum()
-            create_kf = inter / max(union, 1) < self.kf_overlap
+            cvs, inter, osum = gate
+            union = cvs + osum[0] - inter[0]
+            create_kf = inter[0] / max(union, 1) < self.kf_overlap
         if not create_kf:
             self.is_kf[video_idx] = False
             return False
 
         self.current_window, _ = self.add_to_window(
-            video_idx, cur_vis, self.occ_aware_visibility,
-            self.current_window)
+            video_idx, gate, self.current_window)
         self.is_kf[video_idx] = True
 
         # refresh mapped keyframes' poses/depths and deform the map
