@@ -279,12 +279,18 @@ def main():
         state["last_final"] = out
         finals.append(out)
 
-    # the LAST printed line is the headline: the oracle-mode final if it
-    # ran, else the last mode's final
+    # Re-emit every mode's final so they all land in the driver's short
+    # output tail (per-frame partial lines push the first mode's final
+    # hundreds of lines up). The LAST printed line is the headline: the
+    # oracle-mode final if it ran, else the last mode's final.
     headline = next((f for f in reversed(finals)
                      if f.get("metric") == "e2e_fps_synthetic_oracle"
-                     and not f.get("partial", True)), None)
-    if headline is not None and finals[-1] is not headline:
+                     and not f.get("partial", True)), finals[-1] if finals
+                    else None)
+    for f in finals:
+        if f is not headline:
+            print(json.dumps(f), flush=True)
+    if headline is not None:
         print(json.dumps(headline), flush=True)
 
 

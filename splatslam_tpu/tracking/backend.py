@@ -79,6 +79,19 @@ class Backend:
             graph.target = local_graph.target
             graph.weight = local_graph.weight
         left = max_factors - len(graph.ii)
+        # feasibility: the edge selector force-adds ~window*(radius+1)*2
+        # local edges BEFORE considering any loop candidate and stops at
+        # `left` — if the carried-over frontend graph already ate the
+        # budget, loop closure silently never fires (reference
+        # factor_graph.py:421-431 behaves identically, but never warns)
+        fill = (t_end - t_start_loop) * (self.loop_radius + 1) * 2
+        if left <= fill:
+            print(f"[backend] WARNING loop_ba budget infeasible: "
+                  f"{left} factors left after local graph, but the "
+                  f"mandatory neighborhood fill needs ~{fill} "
+                  f"(loop_window={self.loop_window}) — no loop edge can "
+                  f"be selected; raise loop_window or lower frontend "
+                  f"max_factors")
         n_edges = self.ba(t_start, t_end, steps, graph, self.loop_nms,
                           self.loop_radius, self.loop_thresh, left,
                           t_start_loop=t_start_loop, loop=True,

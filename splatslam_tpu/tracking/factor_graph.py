@@ -1034,7 +1034,12 @@ class FactorGraph:
         for k in vals_ix:
             di, dj = k // jlen, k % jlen
             if d[di, dj] > thresh:
-                break
+                # CONTINUE, not break: the argsort is computed once, so a
+                # candidate wiped to inf by a previous pick's NMS window
+                # appears mid-sequence; breaking there would end selection
+                # before any far-separation loop pair is reached
+                # (reference factor_graph.py:441-443)
+                continue
             if len(es) > max_factors:
                 break
             i, j = int(ii[k]), int(jj[k])

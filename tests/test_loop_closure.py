@@ -54,7 +54,13 @@ def _cfg(tmp_path, enable_loop):
     tr["frontend"]["enable_loop"] = enable_loop
     tr["frontend"]["enable_online_ba"] = False
     tr["backend"]["final_ba"] = False        # see module docstring
-    tr["backend"]["loop_window"] = 10
+    # loop budget must stay FEASIBLE when scaling the window down: the
+    # selection loop (reference factor_graph.py:400-476) first force-adds
+    # ~window*(radius+1)*2 local edges and breaks once len(es) exceeds
+    # 8*window - len(frontend edges); window=10 with 48 frontend factors
+    # left 32 < the 40 mandatory edges, so NO loop edge could ever be
+    # picked (in the reference's algorithm equally). 16 leaves headroom.
+    tr["backend"]["loop_window"] = 16
     tr["backend"]["loop_nms"] = 4
     tr["backend"]["loop_thresh"] = 30.0
     cfg["mono_prior"]["provider"] = "oracle"
