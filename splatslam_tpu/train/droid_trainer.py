@@ -203,10 +203,43 @@ class _Prefetcher:
 FLOW_BUCKETS = ((96, 128, 80.0), (240, 320, 200.0))
 
 
+class _Pool:
+    """Pre-rendered batch pool: render `n_batches` per bucket ONCE, then
+    cycle shuffled. The host is single-core here, so fresh per-step
+    rendering (~1.5 s/batch vs a 14-44 ms device step) leaves the TPU
+    >95% idle; a pool makes training device-bound. The procedural scene
+    family is diverse (random seed/fx/motion per batch), so reuse across
+    epochs behaves like ordinary multi-epoch training, not overfitting
+    to a tiny fixed set."""
+
+    def __init__(self, make_fn, buckets, seed, batch, n_batches,
+                 log_every=20):
+        rng = np.random.RandomState(seed)
+        self.items = []
+        for i in range(n_batches):
+            Hb, Wb, fxb = buckets[i % len(buckets)]
+            self.items.append(make_fn(rng, batch, Hb, Wb, fxb))
+            if i % log_every == 0:
+                print(f"pool render {i}/{n_batches}", flush=True)
+        self.rng = rng
+        self.order = []
+
+    def get(self):
+        if not self.order:
+            self.order = list(self.rng.permutation(len(self.items)))
+        return self.items[self.order.pop()]
+
+    def close(self):
+        pass
+
+
 def train(steps=2000, batch=4, H=96, W=128, lr=2e-4, seed=0,
           ckpt_path="pretrained/droid_selftrained.msgpack", log_every=25,
-          params=None, buckets=None, iters=8):
-    """Train and save params (flax serialization msgpack)."""
+          params=None, buckets=None, iters=8, pool=0):
+    """Train and save params (flax serialization msgpack).
+
+    pool > 0: pre-render that many batches (cycled shuffled) instead of
+    streaming fresh batches through the prefetcher — see _Pool."""
     from flax import serialization
     from ..models.weights import init_params
 
@@ -231,7 +264,10 @@ def train(steps=2000, batch=4, H=96, W=128, lr=2e-4, seed=0,
     history = []
     if buckets is None:
         buckets = [(H, W, 80.0)]
-    pre = _Prefetcher(make_pair_batch, buckets, seed, batch)
+    if pool:
+        pre = _Pool(make_pair_batch, buckets, seed, batch, pool)
+    else:
+        pre = _Prefetcher(make_pair_batch, buckets, seed, batch)
 
     def save(p):
         if not ckpt_path:
@@ -433,7 +469,7 @@ def make_dba_train_step(tx, N: int = 7, iters: int = 8, gamma: float = 0.9,
 def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
               seed=1, init_ckpt="pretrained/droid_selftrained.msgpack",
               ckpt_path="pretrained/droid_dba.msgpack",
-              log_every=20, params=None, buckets=None):
+              log_every=20, params=None, buckets=None, pool=0):
     """Fine-tune the update operator through the BA layer.
 
     Starts from the flow-pretrained checkpoint (stage 1) when present —
@@ -469,9 +505,11 @@ def train_dba(steps=1500, batch=2, N=7, H=96, W=128, iters=8, lr=5e-5,
 
     if buckets is None:
         buckets = [(H, W, 80.0)]
-    pre = _Prefetcher(
-        lambda r, b, Hb, Wb, fxb: make_seq_batch(r, b, N, Hb, Wb, fx=fxb),
-        buckets, seed, batch)
+    mk = lambda r, b, Hb, Wb, fxb: make_seq_batch(r, b, N, Hb, Wb, fx=fxb)
+    if pool:
+        pre = _Pool(mk, buckets, seed, batch, pool)
+    else:
+        pre = _Prefetcher(mk, buckets, seed, batch)
     try:
         for step in range(steps):
             imgs, disps_gt, poses_gt, intr8 = pre.get()
