@@ -575,6 +575,10 @@ class Mapper:
         # the per-map() packed pull; add_next_kf's capacity check used to
         # pay its own device→host sync per keyframe)
         self._alive_ub = 0
+        # deferred per-camera pull from the last _run_iters (see
+        # _drain_pack) + its device-resident post-opt camera stack
+        self._pending_pack = None
+        self._last_w2cs = None
 
         self.iteration_count = 0
         self.cameras: dict[int, Camera] = {}
@@ -702,6 +706,7 @@ class Mapper:
     # -- rendering ----------------------------------------------------------
 
     def render(self, cam: Camera):
+        self._drain_pack()
         out = _eval_render(
             self.st, _stack_jit((cam.w2c,)), self.intrinsics,
             H=self.H, W=self.W, K=self.K, sh_degree=self.sh_degree,
@@ -724,6 +729,7 @@ class Mapper:
         """Render several cameras in ONE program (eval path; binning and
         compositing batch like the training step). Returns a RenderOutput
         whose fields are sliced to len(cams)."""
+        self._drain_pack()
         B = len(cams)
         Bp = _round_up(B, 4)
         eye4, _, _ = self._pads()
@@ -816,6 +822,7 @@ class Mapper:
         """
         if not cams:
             return None
+        self._drain_pack()   # _stack_cams reads exp_ab + camera w2c
         if per_step and densify_cfg is not None:
             per_step = False     # densify gates need batched host events
         w2cs, imgs, deps, expo, use_exp, valid = self._stack_cams(cams)
@@ -907,37 +914,63 @@ class Mapper:
             if densify_cfg is not None:
                 self._handle_host_events(densify_cfg, n_touched)
         if store_expo or persist_exp_state or (opt_poses and n_opt):
-            # ONE packed device→host pull for all per-camera outputs
-            # (each separate np.asarray costs a ~30 ms link round trip).
-            # The last column carries Σ n_touched — the (gaussian, pixel)
-            # blend-pair count of the final iteration, the workload term
-            # of the achieved-FLOPs model (bench MFU line).
-            packed = np.asarray(_pack_cam_outputs(
-                expo, exp_m, exp_v, w2cs, n_touched, self.st.alive))
-            # refresh the host alive bound (consumed by add_next_kf's
-            # pull-free capacity check)
-            self._alive_ub = int(packed[0, 23])
-            # flops model per iteration: ~110 F per blend pair (fwd alpha
-            # eval + composite ≈ 30, bwd suffix-scan grads ≈ 80), plus
-            # projection fwd+bwd ≈ 500 F per (camera, gaussian) row and
-            # the SSIM/L1 loss ≈ 1.5 kF per (camera, pixel).
-            C_cap = self.st.xyz.shape[0]
-            loss_f = 1500.0 if self.use_ssim else 200.0
-            self.video.flops_mapping += float(iters) * (
-                float(packed[0, 22]) * 110.0
-                + B * C_cap * 500.0 + B * self.H * self.W * loss_f)
-            if store_expo:
-                for i, c in enumerate(cams):
-                    self.exp_ab[c.uid] = packed[i, 0:2]
-            if persist_exp_state:
-                for i, c in enumerate(cams):
-                    self.exp_mv[c.uid] = np.stack(
-                        [packed[i, 2:4], packed[i, 4:6]])
-            if opt_poses and n_opt:
-                for i, c in enumerate(cams):
-                    if pose_mask_host[i]:
-                        c.w2c = packed[i, 6:22].reshape(4, 4).copy()
+            # DEFERRED packed device→host pull for all per-camera
+            # outputs: the copy starts asynchronously here and is applied
+            # by _drain_pack() at the next host consumer (usually the
+            # next keyframe) — a blocking np.asarray at this point was a
+            # full pipeline sync per mapped keyframe (one link RTT plus
+            # serialization of ~400 ms of queued map_step work).
+            packed_dev = _pack_cam_outputs(
+                expo, exp_m, exp_v, w2cs, n_touched, self.st.alive)
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_pack = dict(
+                dev=packed_dev, cams=list(cams), B=B, iters=iters,
+                C_cap=self.st.xyz.shape[0], store_expo=store_expo,
+                persist=persist_exp_state, n_opt=n_opt,
+                pose_mask=pose_mask_host)
+        # post-optimization camera poses stay ON DEVICE for the prune
+        # pass (map(prune=True) renders with them without draining the
+        # pending pack)
+        self._last_w2cs = (tuple(c.uid for c in cams), w2cs)
         return last
+
+    def _drain_pack(self):
+        """Apply the deferred per-camera pull from the last _run_iters
+        (exposure params + Adam moments, optimized poses, alive bound,
+        flops accounting). Idempotent; ~free once the async copy has
+        landed."""
+        p = self._pending_pack
+        if p is None:
+            return
+        self._pending_pack = None
+        packed = np.asarray(p["dev"])
+        cams, B, iters = p["cams"], p["B"], p["iters"]
+        # host alive bound (consumed by add_next_kf's pull-free capacity
+        # check)
+        self._alive_ub = int(packed[0, 23])
+        # flops model per iteration: ~110 F per blend pair (fwd alpha
+        # eval + composite ≈ 30, bwd suffix-scan grads ≈ 80), plus
+        # projection fwd+bwd ≈ 500 F per (camera, gaussian) row and
+        # the SSIM/L1 loss ≈ 1.5 kF per (camera, pixel). packed[0, 22]
+        # carries Σ n_touched of the final iteration.
+        loss_f = 1500.0 if self.use_ssim else 200.0
+        self.video.flops_mapping += float(iters) * (
+            float(packed[0, 22]) * 110.0
+            + B * p["C_cap"] * 500.0 + B * self.H * self.W * loss_f)
+        if p["store_expo"]:
+            for i, c in enumerate(cams):
+                self.exp_ab[c.uid] = packed[i, 0:2]
+        if p["persist"]:
+            for i, c in enumerate(cams):
+                self.exp_mv[c.uid] = np.stack(
+                    [packed[i, 2:4], packed[i, 4:6]])
+        if p["n_opt"]:
+            for i, c in enumerate(cams):
+                if p["pose_mask"][i]:
+                    c.w2c = packed[i, 6:22].reshape(4, 4).copy()
 
     def _handle_host_events(self, d, n_touched):
         """Densify/prune + opacity resets at gate iterations (the `elif`
@@ -1013,7 +1046,22 @@ class Mapper:
             # cheaper than a full fwd+bwd+Adam map_step here. It still
             # counts as an iteration (mapper.py:415 increments first).
             self.iteration_count += 1
-            out = self.render_batch([self.viewpoints[k] for k in window])
+            lw = self._last_w2cs
+            if lw is not None and lw[0][:len(window)] == tuple(
+                    self.viewpoints[k].uid for k in window):
+                # render with the preceding map() call's POST-optimization
+                # poses straight from the device stack: numerically what
+                # render_batch would use after the pull, with no drain of
+                # the deferred pack (rows beyond the window are the two
+                # random cams; their visibility rows are dropped by the
+                # OOB write uids below, matching render_batch's pads)
+                out = _eval_render(self.st, lw[1], self.intrinsics,
+                                   H=self.H, W=self.W, K=self.K,
+                                   sh_degree=self.sh_degree,
+                                   max_span=self.eval_max_span)
+            else:
+                out = self.render_batch(
+                    [self.viewpoints[k] for k in window])
             uids, wuids = self._occ_idx(window, out.n_touched.shape[0])
             if len(window) == self.window_size and \
                     self.prune_mode == "slam":
@@ -1172,6 +1220,10 @@ class Mapper:
         loop of mapper.py:1021-1055 (and final_refine's, :621-648), with
         the per-keyframe host fusion + per-keyframe deform dispatch
         replaced by ONE batched fusion program and ONE batched deform."""
+        # cameras' w2c feeds w2c_old of the deform — a deferred pose-opt
+        # pull must land first, and the refreshed poses written below
+        # must not be clobbered by a later drain
+        self._drain_pack()
         from . import fusion
         from ..ops.ba import _geom_bucket
         if not pairs:
@@ -1218,6 +1270,11 @@ class Mapper:
 
     def process_keyframe(self, frame_idx, video_idx):
         """Handle one tracker keyframe; returns True if it was mapped."""
+        # apply the previous keyframe's deferred per-camera pull (its
+        # async copy landed during the tracking phase in between):
+        # is_keyframe/add_to_window below read camera w2c, add_next_kf
+        # reads the alive bound
+        self._drain_pack()
         T = self.timers
         with T("map.load"):
             _, color, _, _ = self.dataset[frame_idx]
@@ -1323,6 +1380,7 @@ class Mapper:
         """Accounting of the rasterizer's bounded-work caps over the
         current window (never silent — the CUDA reference has no caps).
         Warns when the tile-list overflow beyond K exceeds 1%."""
+        self._drain_pack()
         cams = [self.viewpoints[k] for k in self.current_window
                 if k in self.viewpoints]
         if not cams:
@@ -1351,6 +1409,7 @@ class Mapper:
 
     def plot_online(self, video_idx):
         """Per-keyframe RGB/depth/diff panel (mapper.py:358-396,570-612)."""
+        self._drain_pack()
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

@@ -47,6 +47,7 @@ def eval_mesh(mapper, save_dir, traj_aligned=None, global_scale=1.0,
     from .mesh import (TSDFVolume, save_mesh_ply, load_mesh_ply,
                        run_evaluation, clean_mesh)
 
+    mapper._drain_pack()   # camera poses may ride a deferred pull
     cams = [(k, mapper.viewpoints.get(k, mapper.cameras.get(k)))
             for k in mapper.video_idxs if mapper.is_kf.get(k, False)]
     cams = [(k, c) for k, c in cams if c is not None]
@@ -142,6 +143,7 @@ def eval_rendering(mapper, save_dir, stream, global_scale=1.0,
     (eval_utils.py:78-212 parity, minus mesh — see utils/mesh.py).
     save_panels also writes a per-keyframe 2×3 RGB/depth/diff PNG and an
     animated gif of the renders."""
+    mapper._drain_pack()   # exp_ab / camera poses may ride a deferred pull
     lpips_fn = _try_lpips()
     img_dir = os.path.join(save_dir, "rendering", iteration)
     os.makedirs(img_dir, exist_ok=True)
