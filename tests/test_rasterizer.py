@@ -421,6 +421,7 @@ def test_mapper_log_raster_health(tmp_path):
         pass
 
     m = _Dummy()
+    m._drain_pack = lambda: None  # mapper drains deferred packs first
     m.current_window = [0]
     m.K = 32
     m.max_span = 4
