@@ -28,6 +28,9 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--dba-steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--dba-batch", type=int, default=2,
+                    help="batch for the dba stage (heavier: N-frame "
+                         "sequences through the unrolled solver)")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--dba-lr", type=float, default=5e-5)
     ap.add_argument("--pool", type=int, default=0,
@@ -43,6 +46,6 @@ if __name__ == "__main__":
         train(steps=args.steps, batch=args.batch, lr=args.lr,
               ckpt_path=args.out, buckets=buckets, pool=args.pool)
     if args.stage in ("dba", "both"):
-        train_dba(steps=args.dba_steps, batch=2, lr=args.dba_lr,
+        train_dba(steps=args.dba_steps, batch=args.dba_batch, lr=args.dba_lr,
                   init_ckpt=args.out, ckpt_path=args.dba_out,
                   buckets=buckets, pool=args.pool)
