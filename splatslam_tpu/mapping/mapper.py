@@ -913,7 +913,13 @@ class Mapper:
             last = (radii, n_touched, loss)
             if densify_cfg is not None:
                 self._handle_host_events(densify_cfg, n_touched)
-        if store_expo or persist_exp_state or (opt_poses and n_opt):
+        if (store_expo or persist_exp_state or (opt_poses and n_opt)
+                or densify_cfg is not None):
+            # densify_cfg runs grow the true alive count (clone/split), so
+            # they MUST refresh the packed alive bound — initialize_map
+            # (store_expo=False, no pose opt) otherwise leaves _alive_ub
+            # stale and add_next_kf's pull-free capacity check can lag the
+            # real occupancy until the first map() pack drains.
             # DEFERRED packed device→host pull for all per-camera
             # outputs: the copy starts asynchronously here and is applied
             # by _drain_pack() at the next host consumer (usually the
@@ -1301,6 +1307,13 @@ class Mapper:
                 H=self.H, W=self.W, K=self.K,
                 sh_degree=self.sh_degree, max_span=self.eval_max_span)
             small = np.asarray(packed_dev)           # ONE device pull
+            # achieved-FLOPs model: proxy-depth fusion ≈ 500 F/pixel
+            # (erosion + push-pull pyramid + scale/shift align) and the
+            # gate render ≈ one projection pass over capacity plus a
+            # K-capped composite at ~25% mean tile occupancy
+            self.video.flops_mapping += float(self.H * self.W) * (
+                500.0 + 0.25 * self.K * 110.0) \
+                + float(self.st.xyz.shape[0]) * 500.0
             w2c = small[:16].reshape(4, 4).copy()
             invalid = bool(small[16] > 0.5) or not has
             median_depth = float(small[17])

@@ -297,6 +297,11 @@ class DepthVideo:
         # totals by wall time for the achieved-TFLOP/s / MFU line
         self.flops_tracking = 0.0
         self.flops_mapping = 0.0
+        # generation counter for poses/disps: bumped by every writer
+        # (update rounds, BA, rm_keyframe, explicit set_item writes) so
+        # the frontend's speculative edge-proposal prefetch can tell
+        # whether the state it was computed from is still current
+        self.pose_gen = 0
 
     @property
     def intr0(self):
@@ -330,6 +335,8 @@ class DepthVideo:
         """Write one keyframe's fields in a SINGLE device program: eagerly
         this was ~11 scatter dispatches per keyframe, each paying a
         compiler/loader RPC under the axon remote tunnel."""
+        if pose is not None or disp is not None:
+            self.pose_gen += 1
         if intrinsics is not None and int(idx) == 0:
             self._intr0 = None      # row 0 rewritten → drop the cache
         fields = ["timestamp"]
@@ -384,6 +391,13 @@ class DepthVideo:
         ii_j = jnp.asarray(np.asarray(ii_p, np.int32))
         jj_j = jnp.asarray(np.asarray(jj_p, np.int32))
         intr = self.intr0
+        # achieved-FLOPs model: frame_distance reprojects every pixel of
+        # each pair twice (pose-induced + translation-only flow,
+        # droid_kernels.cu:518-659) ≈ 2×600 F per pair-pixel; the padded
+        # pair count is what the kernel actually computes
+        px = (self.H // self.down) * (self.W // self.down)
+        self.flops_tracking += ((2 if bidirectional else 1)
+                                * len(ii_p) * px * 1.2e3)
         if bidirectional:
             d1 = frame_distance_kernel(self.state.poses, self.state.disps,
                                        intr, ii_j, jj_j, beta)
@@ -398,6 +412,30 @@ class DepthVideo:
             N = self.counter
             return d.reshape(N, N)
         return d
+
+    def distance_async(self, ii, jj, beta=0.3):
+        """Dispatch the directed frame-distance kernel for (ii, jj) and
+        start its device→host copy WITHOUT blocking. Returns (dev, n);
+        resolve with np.asarray(dev)[:n].
+
+        Used by the frontend's speculative edge-proposal prefetch: the
+        pull lands on the host during the inter-keyframe tracking work
+        instead of serializing the next keyframe's first device sync
+        behind the whole queued pipeline (measured fe.edges 8.9 s /
+        60-frame oracle bench = mostly queue-drain attribution)."""
+        ii_p, n = _pad_idx(np.asarray(ii))
+        jj_p, _ = _pad_idx(np.asarray(jj))
+        d = frame_distance_kernel(
+            self.state.poses, self.state.disps, self.intr0,
+            jnp.asarray(np.asarray(ii_p, np.int32)),
+            jnp.asarray(np.asarray(jj_p, np.int32)), beta)
+        px = (self.H // self.down) * (self.W // self.down)
+        self.flops_tracking += len(ii_p) * px * 1.2e3
+        try:
+            d.copy_to_host_async()
+        except Exception:
+            pass
+        return d, n
 
     def get_nets(self, ii):
         """Bucketed gather of GRU hidden seeds for edges (host numpy)."""

@@ -185,20 +185,29 @@ class MotionFilter:
                         and self._last_gt is not None)
         gmap = None
         delta_mag = None
+        # achieved-FLOPs model (bench MFU): fnet/cnet ≈ 8 kF per input
+        # pixel each (3-stage residual encoder, RAFT class); one GRU+corr
+        # update iteration ≈ 2.8 MF per 1/8-res pixel (the
+        # factor_graph.update_rounds constant)
+        enc_f = float(self.video.H * self.video.W) * 8e3
         if self.video.counter == 0 or (self.oracle and not oracle_gated):
             with T("mf.encode_f"):
                 gmap = encode_features(self.params, image)
+                self.video.flops_tracking += enc_f
         elif not self.oracle:
             with T("mf.track_kernel"):
                 gmap, delta_mag = track_kernel(self.params, image, self.fmap,
                                                self.net, self.inp)
+                self.video.flops_tracking += enc_f + h8 * w8 * 2.8e6
         # oracle_gated: admission needs only GT flow (a ~5 KB upload);
         # features are encoded lazily below, only for admitted keyframes
 
         if self.video.counter == 0:
             net, inp = encode_context(self.params, image)
             self.fmap, self.net, self.inp = gmap, net, inp
-            mono = self.mono_fn(tstamp, image) if self.mono_fn else None
+            with T("mf.mono"):
+                mono = (self.mono_fn(tstamp, image)
+                        if self.mono_fn else None)
             if mono is not None:
                 mono = _disp8_np(mono, self.video.down, h8, w8)
             self.video.append(
@@ -229,10 +238,14 @@ class MotionFilter:
             if gmap is None:
                 with T("mf.encode_f"):
                     gmap = encode_features(self.params, image)
+                    self.video.flops_tracking += enc_f
             with T("mf.encode_c"):
                 net, inp = encode_context(self.params, image)
+                self.video.flops_tracking += enc_f
             self.fmap, self.net, self.inp = gmap, net, inp
-            mono = self.mono_fn(tstamp, image) if self.mono_fn else None
+            with T("mf.mono"):
+                mono = (self.mono_fn(tstamp, image)
+                        if self.mono_fn else None)
             if mono is not None:
                 mono = _disp8_np(mono, self.video.down, h8, w8)
             with T("mf.append"):
