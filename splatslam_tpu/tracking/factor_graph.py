@@ -590,6 +590,7 @@ class FactorGraph:
         # full-buffer gathers per culled keyframe)
         self.video.state, self.damping_maps = _shift_rows(
             s, self.damping_maps, src)
+        self.video.pose_gen += 1
         if ix == 0:
             self.video._intr0 = None    # row 0 rewritten by the shift
         d = self.video.dirty
@@ -876,6 +877,7 @@ class FactorGraph:
         s.depth_scale = depth_scale
         s.depth_shift = depth_shift
         s.valid_depth_mask_small = valid_small
+        self.video.pose_gen += 1
         self.damping_maps = damping_maps
         # pool-shaped device outputs: no host round trip
         self.net = net_out
@@ -918,6 +920,7 @@ class FactorGraph:
             jnp.asarray(valid), jnp.asarray(ix, jnp.int32), plan,
             jnp.asarray(rounds, jnp.int32), num_kf=Mk)
         s.poses = poses
+        self.video.pose_gen += 1
         self.net = net
         self.target = target
         self.age += rounds
@@ -952,7 +955,7 @@ class FactorGraph:
         self.add_factors(ii[keep], jj[keep])
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
-                              thresh=16.0, remove=False):
+                              thresh=16.0, remove=False, dist_override=None):
         t = self.video.counter
         ix_r = np.arange(t0, t)
         jx_r = np.arange(t1, t)
@@ -961,7 +964,14 @@ class FactorGraph:
         ii, jj = np.meshgrid(ix_r, jx_r, indexing="ij")
         ii = ii.reshape(-1)
         jj = jj.reshape(-1)
-        d = self.video.distance(ii, jj, beta=beta).copy()
+        # dist_override: the frontend's speculative prefetch of exactly
+        # this pair grid's distances (frontend._dispatch_spec) — same
+        # kernel, dispatched at the END of the previous keyframe's update
+        # so the pull overlaps the inter-keyframe work
+        if dist_override is not None and len(dist_override) == len(ii):
+            d = np.asarray(dist_override, np.float32).copy()
+        else:
+            d = self.video.distance(ii, jj, beta=beta).copy()
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 

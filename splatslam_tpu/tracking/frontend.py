@@ -61,8 +61,47 @@ class Frontend:
                                  max_factors=self.frontend_max_factors,
                                  oracle=self.oracle)
         self.last_loop_t = -1
+        # speculative edge-proposal prefetch (see _dispatch_spec)
+        self._spec = None
         from ..utils.profiling import PhaseTimers
         self.timers = PhaseTimers()   # replaced by SLAM's shared timers
+
+    def _take_spec(self):
+        """Return the prefetched proposal distances if they were computed
+        from exactly the state this call observes (same pose/disp
+        generation, same keyframe indices), else None."""
+        sp, self._spec = self._spec, None
+        if sp is None:
+            return None
+        if (sp["gen"] != self.video.pose_gen
+                or sp["t"] != self.video.counter or sp["t1"] != self.t1):
+            return None
+        return np.asarray(sp["dev"])[:sp["n"]]
+
+    def _dispatch_spec(self):
+        """Prefetch the NEXT keyframe's edge-proposal distance array.
+
+        After _seed_next, the poses/disps the next __update's
+        add_proximity_factors will read are fully determined (the next
+        admitted frame is appended with pose=None/disp=None, keeping the
+        seeded values), so the directed frame-distance kernel for the
+        next pair grid can run NOW — its result crosses the link during
+        the inter-keyframe tracking work instead of serializing the next
+        keyframe's first sync behind the queued mapper/rounds programs.
+        Any pose/disp writer in between (online/loop BA, rm_keyframe)
+        bumps video.pose_gen and the speculation falls back to the
+        synchronous path."""
+        t = self.video.counter + 1
+        t1 = self.t1 + 1
+        ix_r = np.arange(t1 - 5, t)
+        jx_r = np.arange(max(t1 - self.frontend_window, 0), t)
+        if len(ix_r) == 0 or len(jx_r) == 0:
+            return
+        ii, jj = np.meshgrid(ix_r, jx_r, indexing="ij")
+        dev, n = self.video.distance_async(
+            ii.reshape(-1), jj.reshape(-1), beta=self.beta)
+        self._spec = dict(dev=dev, n=n, gen=self.video.pose_gen,
+                          t=t, t1=t1)
 
     def __update(self):
         """Per-keyframe update (frontend.py:54-100)."""
@@ -75,7 +114,8 @@ class Frontend:
             self.graph.add_proximity_factors(
                 self.t1 - 5, max(self.t1 - self.frontend_window, 0),
                 rad=self.frontend_radius, nms=self.frontend_nms,
-                thresh=self.frontend_thresh, beta=self.beta, remove=True)
+                thresh=self.frontend_thresh, beta=self.beta, remove=True,
+                dist_override=self._take_spec())
 
         with T("fe.rounds"):
             # the keyframe-cull distance d(t1-2, t1-1) rides the fused
@@ -129,6 +169,7 @@ class Frontend:
 
         if len(self.graph.ii) > 0:
             self.video.set_dirty(int(self.graph.ii.min()), self.t1)
+        self._dispatch_spec()
 
     def __initialize(self):
         """Bootstrap after warmup keyframes (frontend.py:102-131)."""
