@@ -2,13 +2,21 @@
 """Benchmark driver: prints ONE JSON line per mode; the LAST line is the
 headline metric (oracle-mode end-to-end FPS).
 
-Two measured modes of the full SLAM pipeline on the procedural Synthetic
-scene at Replica-smoke-like settings (240x320):
-  * oracle  - GT flow targets (no learned net in the loop). Headline.
+Measured modes of the full SLAM pipeline on the procedural Synthetic
+scene:
+  * oracle  - GT flow targets (no learned net in the loop), 240x320.
+    Headline.
   * learned - the pretrained DBA-trained update operator (corr + ConvGRU
     + DBA in the hot loop; reference factor_graph.py:226-270). Reports
     kf-ATE from the same run so the flagship model's accuracy rides the
     bench JSON (VERDICT r2 item 2).
+  * replica_scale - oracle tracking at the reference's native workload
+    shape (320x640, 131k Gaussians, K=256, window 10) so perf is
+    measured where the reference actually runs (VERDICT r4 item 6).
+  * dpt - oracle tracking + the omnidata DPT-hybrid mono prior running
+    per admitted keyframe (512^2 ViT forward), so the mono net's cost
+    appears in a measured FPS number (VERDICT r4 item 7); random weights
+    when the ckpt is absent (cost-faithful, quality gated on weights).
 
 Robustness contract (round-1 failure was rc=124 with NO output at all):
   * a partial JSON line is printed after every frame, so a timeout still
@@ -128,15 +136,46 @@ def _probe_link():
             "matmul_tflops": round(tflops, 1)}
 
 
+_PRIMED_SHAPES = set()   # cam (H, W) configs fully primed this process
+
+
 def run_mode(mode: str, n_frames: int, warm: int):
     """Run the full pipeline in `mode` ('oracle'|'learned'); returns the
     final result dict (also printed)."""
     from splatslam_tpu.config import load_config
     from splatslam_tpu.slam import SLAM
 
-    base = ("configs/Synthetic/smoke_oracle.yaml" if mode == "oracle"
-            else "configs/Synthetic/smoke.yaml")
+    base = {
+        "oracle": "configs/Synthetic/smoke_oracle.yaml",
+        "learned": "configs/Synthetic/smoke.yaml",
+        # reference-native workload shape: 320x640, 131k capacity, K=256,
+        # window 10, init 1050 iters (VERDICT r4 item 6; reference
+        # splat_slam.yaml:90 buffer/window class)
+        "replica_scale": "configs/Synthetic/replica_scale.yaml",
+        # mono-prior-in-the-loop: the DPT-hybrid 512^2 forward runs per
+        # admitted keyframe (reference mono_estimators.py:49-73). Uses
+        # randomly initialized weights when the omnidata ckpt is absent
+        # from the env — the COST structure is what this mode measures;
+        # depth quality is gated on real weights existing
+        "dpt": "configs/Synthetic/smoke_oracle.yaml",
+    }[mode]
     cfg = load_config(base, "configs/splat_slam.yaml")
+    if mode == "dpt":
+        import os.path
+        import shutil
+        ck = "pretrained/omnidata_dpt_depth_v2.ckpt"
+        cfg["mono_prior"] = dict(cfg.get("mono_prior", {}),
+                                 provider="dpt",
+                                 depth_pretrained=(ck if os.path.exists(ck)
+                                                   else None),
+                                 predict_online=True, save_depths=False)
+        # depths .npy cached by a previous bench invocation would replace
+        # the DPT forward with an np.load — the exact cost this mode
+        # exists to measure
+        for sfx in ("", "_prime"):
+            shutil.rmtree(os.path.join(
+                os.environ.get("BENCH_OUT", "/tmp/bench_out") + "_dpt"
+                + sfx, "mono_priors"), ignore_errors=True)
     cfg["verbose"] = False
     cfg["max_frames"] = n_frames
     cfg["synthetic"]["n_frames"] = n_frames
@@ -169,7 +208,18 @@ def run_mode(mode: str, n_frames: int, warm: int):
         # eating those stalls (measured: frames 1-14 at 1.3 FPS, then a
         # ~280 s stall band). Prime cost is dominated by the one-time
         # session establishment, not frames, so prime the whole schedule.
-        pn = int(os.environ.get("BENCH_PRIME_FRAMES", str(n_frames)))
+        # Same-shape modes share nearly the whole warm set in-process
+        # (module-level jit caches): the first mode at a cam shape pays
+        # the full-schedule prime (its cost is dominated by one-time
+        # program loads over the tunnel, not frames); later same-shape
+        # modes only need the handful of mode-specific tracking programs
+        # — a short prime reaches those (VERDICT r4 item 10: bench wall
+        # was 60-88 % priming)
+        shape_key = (cfg["cam"]["H_out"], cfg["cam"]["W_out"])
+        default_pn = n_frames if shape_key not in _PRIMED_SHAPES else \
+            min(32, n_frames)
+        _PRIMED_SHAPES.add(shape_key)
+        pn = int(os.environ.get("BENCH_PRIME_FRAMES", str(default_pn)))
         pn = min(pn, n_frames)
         pcfg["max_frames"] = pn
         pcfg["synthetic"]["n_frames"] = pn
@@ -260,7 +310,11 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
     warm = int(os.environ.get("BENCH_WARM", "16"))
-    modes = os.environ.get("BENCH_MODES", "learned,oracle").split(",")
+    # order matters under an external timeout: the earliest modes' finals
+    # survive via state["last_final"]/partial lines, so the two
+    # round-tracked headline modes run first
+    modes = os.environ.get(
+        "BENCH_MODES", "learned,oracle,replica_scale,dpt").split(",")
 
     state["probe"] = _probe_link()
     print(json.dumps({"event": "probe", **state["probe"]}),
