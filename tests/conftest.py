@@ -18,12 +18,16 @@ jax.config.update("jax_threefry_partitionable", True)
 # TPU intentionally runs the encoders in bf16 like the reference's AMP path)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# This machine's sitecustomize pins JAX_PLATFORMS=axon (the real TPU via a
-# tunnel), overriding the env var above. Pin computation to local CPU so
-# tests are deterministic, parallel-safe, and don't contend with TPU
-# benchmarks. Set SPLATSLAM_TEST_TPU=1 to run the suite on the TPU instead.
+# This machine's sitecustomize pins jax_platforms=axon (the real TPU via
+# a tunnel) at the CONFIG level, overriding the env var above — and a
+# pinned-but-dead tunnel HANGS any backend init with no timeout (round-5:
+# the whole suite froze at collection for >1 h while the tunnel was
+# down). Re-pin the config to cpu so the axon client is never
+# initialized; this also keeps tests deterministic, parallel-safe, and
+# off the shared TPU. Set SPLATSLAM_TEST_TPU=1 to run on the TPU instead.
 if not os.environ.get("SPLATSLAM_TEST_TPU"):
     try:
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     except Exception:
         pass
