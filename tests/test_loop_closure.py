@@ -24,7 +24,7 @@ import pytest
 from splatslam_tpu.config import load_config
 
 
-N_FRAMES = 120
+N_FRAMES = 100
 
 
 def _cfg(tmp_path, enable_loop):
@@ -34,10 +34,10 @@ def _cfg(tmp_path, enable_loop):
     cfg["only_tracking"] = True
     cfg["max_frames"] = N_FRAMES
     # pendulum trajectory (loop_period): the camera retraces its own path,
-    # so frames 90 apart share EXACT poses — the genuine revisit the loop
+    # so frames 96 apart share EXACT poses — the genuine revisit the loop
     # machinery needs (si-sj > 20 kf separation at sub-thresh distance)
     cfg["synthetic"] = dict(cfg.get("synthetic", {}), n_frames=N_FRAMES,
-                            seed=11, motion_scale=8.0, loop_period=45)
+                            seed=11, motion_scale=8.0, loop_period=48)
     # small-res learned tracking: 96x128 -> 12x16 feature grid
     cfg["cam"] = dict(cfg["cam"], H=96, W=128, fx=80.0, fy=80.0,
                       cx=63.5, cy=47.5, H_out=96, W_out=128,
@@ -45,10 +45,15 @@ def _cfg(tmp_path, enable_loop):
     tr = cfg["tracking"]
     tr["buffer"] = 96
     tr["warmup"] = 5
-    # admit ~1 keyframe per 3-4 frames so >20 keyframes separate the
-    # revisit pair (the reference loop-edge gate, factor_graph.py:457)
-    tr["motion_filter"]["thresh"] = 0.25
-    tr["frontend"]["keyframe_thresh"] = 0.15
+    # ~1 keyframe per 2 frames so >20 keyframes separate the revisit
+    # pair (the reference loop-edge gate, factor_graph.py:457). These
+    # thresholds are calibrated to the ROUND-5 two-bucket checkpoint,
+    # whose flow-revision magnitude scales with true motion
+    # (tools/flow_probe.py) — the old 0.25/0.15 was tuned to the
+    # saturated pre-r5 net and over-admits to the point of a 3x runtime
+    # blowup with a working tracker
+    tr["motion_filter"]["thresh"] = 0.8
+    tr["frontend"]["keyframe_thresh"] = 0.4
     tr["frontend"]["window"] = 10
     tr["frontend"]["max_factors"] = 48
     tr["frontend"]["enable_loop"] = enable_loop
@@ -107,17 +112,25 @@ def test_learned_loop_closure_at_scale(tmp_path):
     assert max(loop_edges) > 0, \
         f"loop_ba fired {len(loop_edges)} times but never built an edge"
     assert np.isfinite(ate_loop["rmse"]) and np.isfinite(ate_base["rmse"])
-    # The absolute accuracy of this scaled-down scene is limited by the
-    # tracker itself, not the loop machinery: at 96x128 the correlation
-    # pyramid bottoms out at a 1x2 grid and the self-trained checkpoint
-    # drifts ~0.4 on 0.4 m of travel with online/final BA disabled (the
-    # official droid.pth is not in this environment). The contract this
-    # test can and does enforce: loop edges are built, the loop BA is
-    # numerically sane, and closing the loop strictly IMPROVES the
-    # trajectory vs the loop-disabled arm (measured here:
-    # 0.4025 -> 0.3886 global ATE, 0.4958 -> 0.4243 last-10-kf drift).
-    # The run is deterministic (fixed seeds, procedural scene), so a
-    # strict < comparison is stable.
-    assert ate_loop["rmse"] < 0.45, ate_loop          # bounded (sanity)
-    assert ate_loop["rmse"] < ate_base["rmse"], \
+    # Round-5 contract, re-tightened with the two-bucket checkpoint
+    # (VERDICT r4 item 3; the old 0.45 bound covered a near-blind net):
+    # measured on this exact config (CPU, deterministic) the loop arm
+    # lands at 0.2020 vs 0.2104 loop-disabled — aggressive motion
+    # (scale 8, ~0.5 m amplitude) with online/final BA disabled, so all
+    # remaining drift correction comes from the frontend window + loop
+    # BA. The absolute bound is 1.25x the measured loop-arm value; the
+    # comparative gate pins the improvement with a margin so a silent
+    # regression of either arm fails (ADVICE r4: don't let any
+    # loop-vs-base ordering under a loose cap pass).
+    #
+    # Resolution note: the corr pyramid here bottoms out at 1x2 (12x16
+    # grid); the same two-arm measurement at 192x256 (3x4 bottom level,
+    # non-degenerate) gives 0.140 vs 0.145 at motion 8 — same ordering,
+    # same ~4% loop contribution — but costs ~35 min/pair on the 1-core
+    # CI host, so the suite arm stays at 96x128. At bench-like motion
+    # (scale 5) the loop contribution is noise-level (0.068 -> 0.078):
+    # loop closure pays off exactly when drift between revisits is
+    # large, matching the reference's usage profile.
+    assert ate_loop["rmse"] < 0.25, ate_loop          # absolute bound
+    assert ate_loop["rmse"] < ate_base["rmse"] * 0.995, \
         (ate_loop["rmse"], ate_base["rmse"])
