@@ -161,7 +161,10 @@ def run_mode(mode: str, n_frames: int, warm: int):
     }[mode]
     cfg = load_config(base, "configs/splat_slam.yaml")
     if mode == "dpt":
-        import os.path
+        # NOTE: no `import os.path` here — an inner import of the `os`
+        # package would make `os` function-local and break every
+        # `os.environ` read in this function (shipped broken once:
+        # UnboundLocalError in ALL modes)
         import shutil
         ck = "pretrained/omnidata_dpt_depth_v2.ckpt"
         cfg["mono_prior"] = dict(cfg.get("mono_prior", {}),

@@ -117,7 +117,11 @@ class SLAM:
                 q.put((-1, e))
             q.put(None)
 
-        pre_q = _queue.Queue(maxsize=2)
+        # queue depth covers one admission chunk + lookahead so the
+        # chunked learned-mode path doesn't serialize dataset decode
+        depth = 2 if oracle else 2 + int(
+            self.cfg["tracking"]["motion_filter"].get("batch", 8))
+        pre_q = _queue.Queue(maxsize=depth)
         pre_stop = threading.Event()
         threading.Thread(target=_prefetch,
                          args=(pre_q, self.stream, pre_stop),
@@ -137,50 +141,99 @@ class SLAM:
         prev_ba_idx = 0
         number_of_kf = 0
         T = self.timers
-        with device_trace(self.trace_dir):
-            for i in range(len(self.stream)):
-                with T("data"):
-                    item = pre_q.get()
-                    if item is None or item[0] == -1:
-                        if item is not None:
-                            raise item[1]
-                        break
-                    assert item[0] == i
-                    # gt_pose is the host-side 7-vec (oracle admission is
-                    # per-frame host logic; non-finite GT was already
-                    # degraded to None by the producer)
-                    timestamp, img_u8_np, gt_depth, gt_pose = item[1]
-                with T("motion_filter"):
-                    # uint8 upload: 4x less traffic over the device link
-                    img_u8 = jnp.asarray(img_u8_np)
-                    self.motion_filter.track(
-                        timestamp, img_u8, intrinsic,
-                        gt_pose=gt_pose,
-                        gt_depth=gt_depth if oracle else None)
-                with T("frontend"):
-                    self.frontend()
-                curr_kf_idx = self.video.counter - 1
+        # Learned-mode chunked admission (motion_filter.admission_scan):
+        # the per-frame motion check is 2 link round trips (dispatch +
+        # scalar fetch) and dominated BENCH_r04 learned mode; the
+        # admission chain depends only on motion-filter state, so C
+        # frames decide in ONE program + ONE small pull. Keyframe
+        # APPENDS stay interleaved with frontend processing below, so
+        # pose/disp seeding (_seed_next) sees the identical order as the
+        # per-frame path.
+        chunk = 1 if oracle else int(
+            self.cfg["tracking"]["motion_filter"].get("batch", 8))
 
-                if curr_kf_idx != prev_kf_idx and \
-                        self.frontend.is_initialized:
-                    number_of_kf += 1
-                    if (self.enable_online_ba
-                            and curr_kf_idx >= prev_ba_idx + self.ba_freq):
-                        self.printer.print(
-                            f"Online BA at {curr_kf_idx}th keyframe, frame "
-                            f"{timestamp}", FontColor.TRACKER)
-                        with T("online_ba"):
-                            self.online_ba.dense_ba(2)
-                        prev_ba_idx = curr_kf_idx
-                    if self.mapper is not None and \
-                            number_of_kf % self.every_kf == 0:
-                        with T("mapping"):
-                            self.mapper.process_keyframe(int(timestamp),
-                                                         curr_kf_idx)
-                prev_kf_idx = curr_kf_idx
-                self.printer.update_pbar()
-                if on_frame is not None:
-                    on_frame(i, timestamp, curr_kf_idx)
+        def post_frame(i, timestamp):
+            nonlocal prev_kf_idx, prev_ba_idx, number_of_kf
+            with T("frontend"):
+                self.frontend()
+            curr_kf_idx = self.video.counter - 1
+            if curr_kf_idx != prev_kf_idx and \
+                    self.frontend.is_initialized:
+                number_of_kf += 1
+                if (self.enable_online_ba
+                        and curr_kf_idx >= prev_ba_idx + self.ba_freq):
+                    self.printer.print(
+                        f"Online BA at {curr_kf_idx}th keyframe, frame "
+                        f"{timestamp}", FontColor.TRACKER)
+                    with T("online_ba"):
+                        self.online_ba.dense_ba(2)
+                    prev_ba_idx = curr_kf_idx
+                if self.mapper is not None and \
+                        number_of_kf % self.every_kf == 0:
+                    with T("mapping"):
+                        self.mapper.process_keyframe(int(timestamp),
+                                                     curr_kf_idx)
+            prev_kf_idx = curr_kf_idx
+            self.printer.update_pbar()
+            if on_frame is not None:
+                on_frame(i, timestamp, curr_kf_idx)
+
+        n = len(self.stream)
+        done = False
+        with device_trace(self.trace_dir):
+            i = 0
+            while i < n and not done:
+                # warm-up (first keyframe) and oracle mode use the
+                # per-frame path; chunked admission needs last-keyframe
+                # features to exist
+                take = chunk if self.video.counter > 0 else 1
+                items = []
+                with T("data"):
+                    for _ in range(min(take, n - i)):
+                        item = pre_q.get()
+                        if item is None or item[0] == -1:
+                            if item is not None:
+                                raise item[1]
+                            done = True
+                            break
+                        items.append(item)
+                if not items:
+                    break
+                if len(items) == 1:
+                    idx, (timestamp, img_u8_np, gt_depth, gt_pose) = \
+                        items[0]
+                    assert idx == i
+                    with T("motion_filter"):
+                        # uint8 upload: 4x less traffic over the link
+                        img_u8 = jnp.asarray(img_u8_np)
+                        self.motion_filter.track(
+                            timestamp, img_u8, intrinsic,
+                            gt_pose=gt_pose,
+                            gt_depth=gt_depth if oracle else None)
+                    post_frame(idx, timestamp)
+                    i = idx + 1
+                    continue
+                with T("motion_filter"):
+                    with T("mf.track_kernel"):
+                        # fixed chunk shape (pad w/ the last frame; pad
+                        # decisions discarded) so the scan jits once
+                        frames = [it[1][1] for it in items]
+                        m = len(frames)
+                        frames = frames + [frames[-1]] * (chunk - m)
+                        imgs_dev = jnp.asarray(np.stack(frames))
+                        batch = self.motion_filter.decide_batch(
+                            imgs_dev, m)
+                for k, (idx, (timestamp, _, gt_depth, gt_pose)) in \
+                        enumerate(items):
+                    if batch[0][k]:
+                        with T("motion_filter"):
+                            self.motion_filter.commit_batch_frame(
+                                k, batch, timestamp, imgs_dev, intrinsic,
+                                gt_pose=gt_pose, gt_depth=None)
+                    else:
+                        self.motion_filter.count += 1
+                    post_frame(idx, timestamp)
+                i = items[-1][0] + 1
 
         return self.terminate()
 

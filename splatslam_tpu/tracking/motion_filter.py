@@ -94,6 +94,65 @@ def track_kernel(params, image, fmap_last, net_last, inp_last):
 
 
 @jax.jit
+def admission_scan(params, images_u8, fmap0, net0, inp0, thresh):
+    """Chunked keyframe-admission: run the per-frame motion check for a
+    whole chunk of frames in ONE device program.
+
+    The admission chain is sequential (each frame correlates against the
+    last ADMITTED frame's features) but depends only on the motion
+    filter's own state — never on the frontend/BA state — so it can run
+    ahead of keyframe processing as a lax.scan whose carry is
+    (fmap, ctx_net, ctx_inp) of the last admitted frame. Replaces
+    one dispatch + one scalar fetch PER FRAME (2 link round trips over
+    the TPU tunnel — ~160 ms/frame at degraded RTT, the single largest
+    learned-mode phase in BENCH_r04) with one upload + one small fetch
+    per chunk.
+
+    Returns (pack, gmaps, nets, inps): pack = [admit_flags | deltas]
+    (2C,) f32 — the ONLY array the host needs to pull; the per-frame
+    feature/context maps stay on device and are sliced on admission.
+
+    Context features are computed for every frame (the per-frame path
+    encodes them only for admitted frames): ~2x encoder FLOPs for
+    admitted-rate < 1, which is MXU time measured in microseconds —
+    irrelevant next to the link round trips it removes.
+
+    Reference: thirdparty/glorie_slam/motion_filter.py:61-105 (same
+    decision rule, fused + batched).
+    """
+    model = DroidNet(dtype=compute_dtype())
+    h, w = fmap0.shape[:2]
+    coords0 = pops.coords_grid(h, w)[None]
+
+    def step(carry, image):
+        fmap, net_c, inp_c = carry
+        inputs = normalize_images(_to_float(image))[None]
+        gmap = model.apply({"params": params}, inputs,
+                           method=DroidNet.features)[0]
+        cn, ci = model.apply({"params": params}, inputs,
+                             method=DroidNet.context)
+        cn = cn[0].astype(jnp.float32)
+        ci = ci[0].astype(jnp.float32)
+        pyr = corr_ops.build_corr_pyramid(fmap[None],
+                                          gmap[None].astype(fmap.dtype))
+        corr = corr_ops.lookup_pyramid(pyr, coords0)
+        _, delta, _ = model.apply(
+            {"params": params}, net_c[None], inp_c[None], corr,
+            method=DroidNet.update_step)
+        dmag = jnp.linalg.norm(delta.astype(jnp.float32), axis=-1).mean()
+        admit = dmag > thresh
+        carry = (jnp.where(admit, gmap, fmap),
+                 jnp.where(admit, cn, net_c),
+                 jnp.where(admit, ci, inp_c))
+        return carry, (admit, dmag, gmap, cn, ci)
+
+    _, (admits, dmags, gmaps, nets, inps) = jax.lax.scan(
+        step, (fmap0, net0, inp0), images_u8)
+    pack = jnp.concatenate([admits.astype(jnp.float32), dmags])
+    return pack, gmaps, nets, inps
+
+
+@jax.jit
 def flow_magnitude(params, fmap_last, gmap, net_last, inp_last):
     """One update-operator iteration vs the last keyframe; returns the
     mean ‖delta‖ (motion_filter.py:85-94)."""
@@ -168,6 +227,51 @@ class MotionFilter:
         d = 1000.0 if frac < 0.75 else \
             float((dist * valid).sum() / max(valid.sum(), 1e-8))
         return d, gt_disp8
+
+    def decide_batch(self, images_u8_dev, n):
+        """Run the admission scan for a chunk of `n` frames (the device
+        batch may be padded beyond n — pad decisions are discarded).
+        Returns (admits[n] bool, deltas[n], gmaps, nets, inps) where the
+        feature arrays are device-resident (C,...) to be sliced by
+        commit_batch_frame. ONE small host pull for the whole chunk."""
+        C = int(images_u8_dev.shape[0])
+        h8 = self.video.H // self.video.down
+        w8 = self.video.W // self.video.down
+        pack, gmaps, nets, inps = admission_scan(
+            self.params, images_u8_dev, self.fmap, self.net, self.inp,
+            jnp.float32(self.thresh))
+        enc_f = float(self.video.H * self.video.W) * 8e3
+        self.video.flops_tracking += C * (2 * enc_f + h8 * w8 * 2.8e6)
+        small = np.asarray(pack)        # the chunk's single device pull
+        admits = small[:C] > 0.5
+        deltas = small[C:2 * C]
+        return admits[:n], deltas[:n], gmaps, nets, inps
+
+    def commit_batch_frame(self, k, batch, tstamp, images_u8_dev,
+                           intrinsics, gt_pose=None, gt_depth=None):
+        """Admit frame k of a decide_batch chunk: update the last-keyframe
+        feature state to the scan's row k and append to the video —
+        identical bookkeeping to the admitted branch of track()."""
+        admits, deltas, gmaps, nets, inps = batch
+        h8 = self.video.H // self.video.down
+        w8 = self.video.W // self.video.down
+        intr8 = np.asarray(intrinsics, np.float32) / float(self.video.down)
+        gt_disp8 = (_disp8_np(gt_depth, self.video.down, h8, w8)
+                    if gt_depth is not None else None)
+        self.count = 0
+        self.fmap = gmaps[k]
+        self.net, self.inp = nets[k], inps[k]
+        image = images_u8_dev[k]
+        T = self.timers
+        with T("mf.mono"):
+            mono = self.mono_fn(tstamp, image) if self.mono_fn else None
+        if mono is not None:
+            mono = _disp8_np(mono, self.video.down, h8, w8)
+        with T("mf.append"):
+            self.video.append(
+                tstamp, _img255(image), None, None, mono, intr8,
+                self.fmap, self.net, self.inp, gt_pose=gt_pose,
+                gt_depth=gt_disp8)
 
     def track(self, tstamp, image, intrinsics, gt_pose=None, gt_depth=None):
         """image (H,W,3) float [0,1]; intrinsics (4,) full-res;

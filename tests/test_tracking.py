@@ -374,3 +374,69 @@ def test_fused_motion_only_matches_per_round(params):
     np.testing.assert_array_equal(fused[:6], p0[:6])
     # the filled poses actually moved
     assert np.abs(fused[6:8] - p0[6:8]).max() > 1e-5
+
+
+def test_chunked_admission_matches_per_frame(params):
+    """admission_scan (the chunked learned-mode decision path used by
+    slam._run_loop) must reproduce the per-frame track() decision chain.
+    Both carry branches are exercised deterministically: an all-admit
+    chain (thresh below every delta -> carry advances each frame) and a
+    none-admit chain (thresh above every delta -> carry frozen at the
+    first keyframe); each compares deltas and appended feature state
+    against the per-frame path on the identical chain."""
+    from splatslam_tpu.tracking.motion_filter import (
+        admission_scan, flow_magnitude, encode_features, encode_context)
+
+    intr = jnp.asarray([40.0, 40.0, 48.0, 32.0])
+    frames = [jnp.asarray(f) for f in synth_frames(9)]
+    imgs_u8 = jnp.stack([(f * 255.0).astype(jnp.uint8)
+                         for f in frames[1:]])
+
+    for thresh, admits_all in ((-1.0, True), (1e6, False)):
+        # ---- per-frame reference chain
+        cfg = small_cfg()
+        cfg["tracking"]["motion_filter"]["thresh"] = thresh
+        video_a = DepthVideo(cfg)
+        mf_a = MotionFilter(params, video_a, cfg, mono_fn=None)
+        ref_deltas = []
+        mf_a.track(0.0, frames[0], intr)
+        fmap, net, inp = mf_a.fmap, mf_a.net, mf_a.inp
+        for k in range(8):
+            f = imgs_u8[k]          # same u8 storage form as the chunk
+            gmap = encode_features(params, f)
+            ref_deltas.append(float(flow_magnitude(
+                params, fmap, gmap, net, inp)))
+            if ref_deltas[-1] > thresh:
+                fmap = gmap
+                net, inp = encode_context(params, f)
+        admitted_ref = [d > thresh for d in ref_deltas]
+        assert all(a == admits_all for a in admitted_ref), \
+            "threshold did not force a single-branch chain"
+
+        # ---- chunked path (two chunks of 4)
+        cfg = small_cfg()
+        cfg["tracking"]["motion_filter"]["thresh"] = thresh
+        video_b = DepthVideo(cfg)
+        mf_b = MotionFilter(params, video_b, cfg, mono_fn=None)
+        mf_b.track(0.0, frames[0], intr)
+        got_deltas = []
+        for c0 in (0, 4):
+            imgs = imgs_u8[c0:c0 + 4]
+            batch = mf_b.decide_batch(imgs, 4)
+            for k in range(4):
+                got_deltas.append(float(batch[1][k]))
+                if batch[0][k]:
+                    mf_b.commit_batch_frame(
+                        k, batch, float(1 + c0 + k), imgs, intr)
+                else:
+                    mf_b.count += 1
+
+        np.testing.assert_allclose(got_deltas, ref_deltas,
+                                   atol=5e-3, rtol=5e-3)
+        assert [d > thresh for d in got_deltas] == admitted_ref
+        np.testing.assert_allclose(
+            np.asarray(mf_b.fmap, np.float32),
+            np.asarray(fmap, np.float32), atol=1e-2, rtol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(mf_b.net), np.asarray(net), atol=1e-2, rtol=1e-2)
+        assert video_b.counter == (9 if admits_all else 1)
