@@ -53,16 +53,40 @@ def make_pair_batch(rng: np.random.RandomState, batch: int, H: int, W: int,
         # (measured: train EPE 0.1 px, but 2-4 px at other trajectory
         # positions of the very same scene family).
         k0 = int(rng.randint(0, 60))
-        gap = int(1 + rng.randint(3))
+        # Gap distribution (r5): the pipeline correlates pairs well beyond
+        # adjacent frames — frontend proximity edges span the window,
+        # backend/loop edges pair keyframes >20 apart (reference
+        # factor_graph.py:337-461). Training only at gaps 1-3 (rounds
+        # <=4) made exactly those edges out-of-distribution: measured
+        # ATE ablation showed online/loop BA HURTING (0.053 -> 0.131)
+        # because their update targets were garbage. Mix: 40% gaps 1-3
+        # (the admission/motion-filter regime), 45% gaps 1-10 (window
+        # proximity edges), 15% full-period revisit pairs on a pendulum
+        # trajectory (loop-closure regime: huge temporal gap, near-zero
+        # true motion -> the net must predict ~zero delta with HIGH
+        # confidence instead of hallucinating flow).
+        u = rng.rand()
+        loop_period = 0
+        if u < 0.15:
+            loop_period = int(24 + rng.randint(48))
+            gap = loop_period
+            k0 = int(rng.randint(0, 16))
+        elif u < 0.55:
+            gap = int(1 + rng.randint(3))
+        else:
+            gap = int(1 + rng.randint(10))
+        syn = {"n_frames": k0 + gap + 1,
+               "seed": int(rng.randint(1 << 30)),
+               "motion_scale": float(0.5 + 9.5 * rng.rand())}
+        if loop_period:
+            syn["loop_period"] = loop_period
         cfg = {
             "dataset": "synthetic",
             "cam": {"H": H, "W": W, "fx": fx_s, "fy": fx_s,
                     "cx": W / 2 - 0.5,
                     "cy": H / 2 - 0.5, "H_out": H, "W_out": W,
                     "H_edge": 0, "W_edge": 0},
-            "synthetic": {"n_frames": k0 + gap + 1,
-                          "seed": int(rng.randint(1 << 30)),
-                          "motion_scale": float(0.5 + 9.5 * rng.rand())},
+            "synthetic": syn,
         }
         ds = Synthetic(cfg)
         _, im1, d1, p1 = ds[k0]
@@ -344,12 +368,17 @@ def make_seq_batch(rng: np.random.RandomState, batch: int, N: int,
         # random trajectory start: N-frame windows fixed at frame 0 all
         # share one sin-phase (see make_pair_batch)
         k0 = int(rng.randint(0, 60))
+        # frame stride 1-3 (r5): production sequences are KEYFRAMES
+        # (median admission gap ~2 on the bench scene), so the solver
+        # must be accurate at keyframe baselines, not only consecutive
+        # frames
+        stride = int(1 + rng.randint(3))
         cfg = {
             "dataset": "synthetic",
             "cam": {"H": H, "W": W, "fx": fx_s, "fy": fx_s,
                     "cx": W / 2 - 0.5, "cy": H / 2 - 0.5,
                     "H_out": H, "W_out": W, "H_edge": 0, "W_edge": 0},
-            "synthetic": {"n_frames": k0 + N,
+            "synthetic": {"n_frames": k0 + (N - 1) * stride + 1,
                           "seed": int(rng.randint(1 << 30)),
                           "motion_scale": float(0.5 + 9.5 * rng.rand())},
         }
@@ -357,7 +386,7 @@ def make_seq_batch(rng: np.random.RandomState, batch: int, N: int,
         imgs, disps, poses = [], [], []
         off = 3
         for k in range(N):
-            _, im, d, c2w = ds[k0 + k]
+            _, im, d, c2w = ds[k0 + k * stride]
             imgs.append(im)
             d8 = d[off::8, off::8][:h, :w]
             disps.append(np.where(d8 > 1e-6, 1.0 / np.maximum(d8, 1e-6),

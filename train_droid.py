@@ -36,6 +36,9 @@ if __name__ == "__main__":
     ap.add_argument("--pool", type=int, default=0,
                     help="pre-render this many batches and cycle them")
     ap.add_argument("--buckets", choices=("small", "both"), default="both")
+    ap.add_argument("--init", type=str, default=None,
+                    help="continue the flow stage from this .msgpack "
+                         "instead of random init")
     ap.add_argument("--out", type=str,
                     default="pretrained/droid_selftrained.msgpack")
     ap.add_argument("--dba-out", type=str,
@@ -43,8 +46,14 @@ if __name__ == "__main__":
     args = ap.parse_args()
     buckets = FLOW_BUCKETS if args.buckets == "both" else None
     if args.stage in ("flow", "both"):
+        init_params_flow = None
+        if args.init:
+            from splatslam_tpu.train.droid_trainer import load_selftrained
+            init_params_flow = load_selftrained(args.init)
+            print(f"[train] flow stage continues from {args.init}")
         train(steps=args.steps, batch=args.batch, lr=args.lr,
-              ckpt_path=args.out, buckets=buckets, pool=args.pool)
+              ckpt_path=args.out, buckets=buckets, pool=args.pool,
+              params=init_params_flow)
     if args.stage in ("dba", "both"):
         train_dba(steps=args.dba_steps, batch=args.dba_batch, lr=args.dba_lr,
                   init_ckpt=args.out, ckpt_path=args.dba_out,
