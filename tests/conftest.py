@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent-cache WRITES segfault deterministically late in the suite
+# (native crash in put_executable_and_time / zstd serialization once the
+# long-lived pytest process is ~5 GB — reproduced twice at the same
+# test, passes in isolation). Reads stay enabled (warm-start reruns);
+# writes are suppressed by an unreachable min-compile-time.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 # full fp32 matmul/conv accumulation for torch-parity tests (production on
 # TPU intentionally runs the encoders in bf16 like the reference's AMP path)
 jax.config.update("jax_default_matmul_precision", "highest")

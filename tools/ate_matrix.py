@@ -19,8 +19,12 @@ from splatslam_tpu.config import load_config
 
 
 def base_cfg():
+    import os
     cfg = load_config("configs/Synthetic/smoke.yaml",
                       "configs/splat_slam.yaml")
+    ck = os.environ.get("SPLATSLAM_CKPT")
+    if ck:
+        cfg["tracking"]["pretrained"] = ck
     cfg["verbose"] = False
     cfg["only_tracking"] = True
     cfg["max_frames"] = 60
@@ -39,6 +43,13 @@ ARMS = {
     "dense": {("tracking", "motion_filter", "thresh"): 1.0},
     "iters16": {"_iters": (16, 8)},
     "nonorm": {("tracking", "backend", "normalize"): False},
+    # reference-default online-BA cadence (splat_slam.yaml:108 ba_freq
+    # 20 vs the smoke override 10) + admission matched to oracle density
+    "ref_cadence": {("tracking", "backend", "ba_freq"): 20,
+                    ("tracking", "motion_filter", "thresh"): 1.6},
+    "loop_only": {("tracking", "frontend", "enable_online_ba"): False,
+                  ("tracking", "motion_filter", "thresh"): 1.6},
+    "t16": {("tracking", "motion_filter", "thresh"): 1.6},
 }
 
 
