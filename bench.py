@@ -218,7 +218,21 @@ def run_mode(mode: str, n_frames: int, warm: int):
         # modes only need the handful of mode-specific tracking programs
         # — a short prime reaches those (VERDICT r4 item 10: bench wall
         # was 60-88 % priming)
-        shape_key = (cfg["cam"]["H_out"], cfg["cam"]["W_out"])
+        # Same-shape prime reuse is only sound when the earlier mode
+        # compiled the same PROGRAM SET: oracle vs learned differ in the
+        # tracking programs AND in which BA programs the schedule
+        # touches (e.g. the learned smoke disables online BA, so its
+        # full prime never compiles the dense-BA pools oracle needs —
+        # measured: a 32-frame oracle prime after the learned mode left
+        # fe.rounds/loop_ba/final_ba eating remote compiles in the
+        # MEASURED run, 148 s wall vs 34 s warm). Key on the config
+        # facets that select programs, not just the cam shape.
+        tr = cfg["tracking"]
+        shape_key = (cfg["cam"]["H_out"], cfg["cam"]["W_out"],
+                     bool(tr.get("oracle", False)),
+                     bool(tr["frontend"].get("enable_online_ba", True)),
+                     bool(tr["frontend"].get("enable_loop", True)),
+                     mode == "dpt")
         default_pn = n_frames if shape_key not in _PRIMED_SHAPES else \
             min(32, n_frames)
         _PRIMED_SHAPES.add(shape_key)
