@@ -8,8 +8,13 @@ import pytest
 
 def test_trainer_reduces_epe():
     from splatslam_tpu.train.droid_trainer import train
+    # pool=1: every step trains on the SAME pre-rendered batch, so the
+    # before/after EPE comparison is same-data. (With streamed batches
+    # the r5 widened gap/revisit mixture makes per-step EPE vary by
+    # batch difficulty — 8 steps from random init is not enough to
+    # dominate that variance.)
     params, history = train(steps=8, batch=2, H=64, W=96, lr=4e-4,
-                            ckpt_path=None, log_every=4)
+                            ckpt_path=None, log_every=4, pool=1)
     assert np.isfinite(history).all()
     assert history[-1] < history[0], history
 
